@@ -1,0 +1,191 @@
+"""Benchmark: training examples/s on the ml-1m HSTU parity recipe.
+
+Runs the jit-compiled train step on synthetic ml-1m-shaped data (batch
+128, seq len 200+11, d=50, 2 HSTU blocks, sampled-softmax 128 negatives)
+on the default JAX backend (TPU when available), and — when torch is
+importable — measures an equivalent eager-PyTorch reference step on CPU
+for the vs_baseline ratio (the reference repo's own stack is
+CUDA-or-CPU PyTorch; no GPU exists in this environment).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_batch(b, l, num_items, seed=0):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(20, l, size=b).astype(np.int32)
+    ids = np.zeros((b, l), dtype=np.int32)
+    ts = np.zeros((b, l), dtype=np.int32)
+    base = 978_000_000
+    for i, n in enumerate(lengths):
+        ids[i, :n] = rng.integers(1, num_items, size=n)
+        ts[i, :n] = np.sort(base + rng.integers(0, 10**8, size=n))
+    return {
+        "lengths": lengths,
+        "ids": ids,
+        "ratings": rng.integers(1, 6, size=(b, l)).astype(np.int32),
+        "timestamps": ts,
+        "target_id": rng.integers(1, num_items, size=b).astype(np.int32),
+        "target_rating": rng.integers(1, 6, size=b).astype(np.int32),
+        "target_timestamp": (ts.max(axis=1) + 100).astype(np.int32),
+        "sample_weight": np.ones(b, dtype=np.float32),
+    }
+
+
+def bench_ours(batch, steps=30, warmup=5):
+    import jax
+
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+    from mygenerativerecommenders_tpu.train.task_retrieval import make_train_step
+    from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+    cfg = get_preset("ml-1m-hstu")
+    resolve(cfg, cfg.data.expected_max_item_id)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    seq, _, _ = seq_features_from_batch(batch, cfg.model.gr_output_length + 1)
+    params = jax.jit(model.init)({"params": rng, "dropout": rng}, seq)
+    all_item_ids = np.arange(1, cfg.data.expected_max_item_id + 1, dtype=np.int32)
+    tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
+    opt_state = jax.jit(tx.init)(params)
+    train_step = make_train_step(model, cfg, all_item_ids)
+
+    dev_batch = jax.device_put(batch)
+    lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+    for i in range(warmup):
+        params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    b = batch["lengths"].shape[0]
+    return b * steps / dt
+
+
+def bench_torch_reference(batch, steps=5, warmup=2):
+    """Eager-torch mirror of the reference train step (CPU), for the ratio."""
+    try:
+        import torch
+        import torch.nn.functional as F
+    except ImportError:
+        return None
+    torch.manual_seed(0)
+    b, l = batch["ids"].shape
+    n = l + 11
+    d, num_items, num_neg = 50, 3952, 128
+    ids = torch.tensor(
+        np.concatenate([batch["ids"], np.zeros((b, 11), np.int32)], 1).astype(np.int64)
+    )
+    ts = torch.tensor(
+        np.concatenate([batch["timestamps"], np.zeros((b, 11), np.int32)], 1).astype(
+            np.int64
+        )
+    )
+    lengths = torch.tensor(batch["lengths"].astype(np.int64))
+    ids.scatter_(1, lengths.view(-1, 1), torch.tensor(batch["target_id"].astype(np.int64)).view(-1, 1))
+
+    item_emb = torch.nn.Embedding(num_items + 1, d, padding_idx=0)
+    pos_emb = torch.nn.Embedding(n, d)
+    uvqk = [torch.nn.Parameter(torch.randn(d, 4 * d) * 0.02) for _ in range(2)]
+    o = [torch.nn.Linear(d, d) for _ in range(2)]
+    pos_w = [torch.nn.Parameter(torch.randn(2 * n - 1) * 0.02) for _ in range(2)]
+    ts_w = [torch.nn.Parameter(torch.randn(129) * 0.02) for _ in range(2)]
+    params = (
+        list(item_emb.parameters())
+        + list(pos_emb.parameters())
+        + uvqk
+        + [p for m in o for p in m.parameters()]
+        + pos_w
+        + ts_w
+    )
+    opt = torch.optim.AdamW(params, lr=1e-3, betas=(0.9, 0.98), weight_decay=1e-3)
+
+    tril = torch.tril(torch.ones(n, n))
+    i_idx = torch.arange(n).view(-1, 1)
+    j_idx = torch.arange(n).view(1, -1)
+    pos_gather = (j_idx - i_idx + n - 1).clamp(0, 2 * n - 2)
+
+    def step():
+        opt.zero_grad()
+        emb = item_emb(ids)
+        x = emb * (d**0.5) + pos_emb.weight[None, :, :]
+        valid = (ids != 0).float().unsqueeze(-1)
+        x = x * valid
+        ext = torch.cat([ts, ts[:, -1:]], 1)
+        delta = ext[:, 1:, None] - ext[:, None, :-1]
+        bucket = (torch.log(delta.abs().clamp(min=1).float()) / 0.301).long().clamp(0, 128)
+        for blk in range(2):
+            x = x * valid
+            nx = F.layer_norm(x, (d,), eps=1e-6)
+            proj = F.silu(nx @ uvqk[blk])
+            u, v, q, k = proj.split([d, d, d, d], dim=-1)
+            bias = pos_w[blk][pos_gather][None] + ts_w[blk][bucket]
+            attn = F.silu(torch.einsum("bnd,bmd->bnm", q, k) + bias) / n
+            attn = attn * tril
+            av = torch.einsum("bnm,bmd->bnd", attn, v)
+            x = o[blk](u * F.layer_norm(av, (d,), eps=1e-6)) + x
+        x = x * valid
+        out = x / x.norm(dim=-1, keepdim=True).clamp(min=1e-6)
+        sup_ids = ids[:, 1:]
+        weights = (sup_ids != 0).float()
+        neg_ids = torch.randint(1, num_items, (b, n - 1, num_neg))
+        neg_emb = item_emb(neg_ids)
+        neg_emb = neg_emb / neg_emb.norm(dim=-1, keepdim=True).clamp(min=1e-6)
+        pos_e = emb[:, 1:, :]
+        pos_e = pos_e / pos_e.norm(dim=-1, keepdim=True).clamp(min=1e-6)
+        q_out = out[:, :-1, :]
+        pos_logits = (q_out * pos_e).sum(-1) / 0.05
+        neg_logits = torch.einsum("btd,btrd->btr", q_out, neg_emb) / 0.05
+        neg_logits = torch.where(sup_ids.unsqueeze(-1) == neg_ids, torch.tensor(-5e4), neg_logits)
+        all_logits = torch.cat([pos_logits.unsqueeze(-1), neg_logits], -1)
+        loss = (-F.log_softmax(all_logits, -1)[..., 0] * weights).sum() / weights.sum()
+        loss.backward()
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    dt = time.perf_counter() - t0
+    return b * steps / dt
+
+
+def main():
+    b, l = 128, 200
+    batch = make_batch(b, l, 3952)
+    ours = bench_ours(batch)
+    baseline = None
+    if "--skip-baseline" not in sys.argv:
+        try:
+            baseline = bench_torch_reference(batch)
+        except Exception:
+            baseline = None
+    vs = round(ours / baseline, 3) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_sec_ml1m_hstu",
+                "value": round(ours, 2),
+                "unit": "examples/s/chip",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,288 @@
+"""Dataclass config tree + dotted-path CLI overrides.
+
+The TPU-native replacement for the reference's Hydra tree (configs/*.yaml
++ utils/instantiators.py): nested frozen-less dataclasses, named
+experiment presets (configs/presets.py), `key.path=value` overrides with
+dataclass-driven type coercion, and derived-dim resolution
+(`resolve(config, data_info)`) mirroring the reference's "dims inferred
+from datamodule" behavior (generative_recommenders.py:105-239).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+# --------------------------------------------------------------------------
+# Component configs (mirror the reference's component families, SURVEY §2)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class EmbeddingConfig:
+    kind: str = "local"  # local | item_year | categorical
+    item_embedding_dim: int = 50
+    num_items: int = 0  # 0 -> filled from data (max item id)
+    init_std: float = 0.02
+
+
+@dataclass
+class PreprocessorConfig:
+    kind: str = "learnable_positional"  # | learnable_positional_rated | ..._aux | combined_item_and_rating
+    dropout_rate: float = 0.2
+    num_ratings: int = 6
+    rating_embedding_dim: int = 0
+    # aux variant (ml-1m user features; experiment/ml-1m-hstu-aux.yaml)
+    auxiliary_columns: Tuple[str, ...] = ()
+    encoding_types: Tuple[str, ...] = ()
+    categorical_dims: Tuple[int, ...] = ()
+    categorical_embedding_dims: Tuple[int, ...] = ()
+
+
+@dataclass
+class EncoderConfig:
+    kind: str = "hstu"  # hstu | sasrec
+    num_blocks: int = 2
+    num_heads: int = 1
+    attention_dim: int = 0  # 0 -> item_embedding_dim
+    linear_dim: int = 0  # 0 -> item_embedding_dim
+    linear_dropout_rate: float = 0.2
+    attn_dropout_rate: float = 0.0
+    normalization: str = "rel_bias"
+    linear_activation: str = "silu"
+    concat_ua: bool = False
+    enable_relative_attention_bias: bool = True
+    relative_bias_type: str = "time_position"
+    num_time_buckets: int = 128
+    use_pallas: bool = False
+    # sasrec only
+    ffn_hidden_dim: int = 0
+
+
+@dataclass
+class PostprocessorConfig:
+    kind: str = "l2_norm"  # l2_norm | layer_norm
+    eps: float = 1e-6
+
+
+@dataclass
+class SimilarityConfig:
+    kind: str = "dot_product"  # dot_product | mol
+    # MoL params (similarity/mol.py)
+    query_dot_product_groups: int = 4
+    item_dot_product_groups: int = 4
+    dot_product_dimension: int = 16
+    dot_product_l2_norm: bool = True
+    gating_combination_type: str = "glu_silu"
+    temperature: float = 0.05
+
+
+@dataclass
+class SamplerConfig:
+    kind: str = "local"  # local | in_batch
+    l2_norm: bool = True
+    l2_norm_eps: float = 1e-6
+    dedup_embeddings: bool = True
+
+
+@dataclass
+class LossConfig:
+    kind: str = "sampled_softmax"  # sampled_softmax | bce | bce_ratings | ce_rating
+    num_to_sample: int = 128
+    temperature: float = 0.05
+
+
+@dataclass
+class IndexConfig:
+    k: int = 200
+    filter_past_ids: bool = True
+
+
+@dataclass
+class MetricsConfig:
+    at_k_list: Tuple[int, ...] = (10, 50, 100, 200)
+
+
+@dataclass
+class ModelConfig:
+    task: str = "retrieval"  # retrieval | ranking
+    gr_output_length: int = 10
+    item_embedding_dim: int = 50
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+    preprocessor: PreprocessorConfig = field(default_factory=PreprocessorConfig)
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    postprocessor: PostprocessorConfig = field(default_factory=PostprocessorConfig)
+    similarity: SimilarityConfig = field(default_factory=SimilarityConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    metrics: MetricsConfig = field(default_factory=MetricsConfig)
+    # compute dtype for the encoder ("float32" | "bfloat16")
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class OptimizerConfig:
+    kind: str = "adamw"  # adamw | muon | scion | scion_light | sgd
+    lr: float = 1e-3
+    betas: Tuple[float, float] = (0.9, 0.98)
+    weight_decay: float = 1e-3
+    eps: float = 1e-8
+    momentum: float = 0.95  # muon/scion
+    nesterov: bool = True  # muon
+    ns_steps: int = 5  # muon/scion newton-schulz iterations
+    norm: str = "auto"  # scion norm strategy
+    scale: float = 1.0  # scion
+    unconstrained: bool = True  # scion
+    enabled: bool = True  # optimizer2 slot can be disabled
+
+
+@dataclass
+class SchedulerConfig:
+    kind: str = "plateau"  # plateau | none | cosine
+    mode: str = "max"
+    factor: float = 0.1
+    patience: int = 10
+    threshold: float = 1e-4
+    min_lr: float = 0.0
+
+
+@dataclass
+class DataConfig:
+    dataset_name: str = "ml-1m"
+    batch_size: int = 128
+    eval_batch_size: int = 0  # 0 -> batch_size
+    max_sequence_length: int = 200
+    chronological: bool = True
+    positional_sampling_ratio: float = 1.0
+    data_dir: str = "tmp"
+    # dataset constants (filled by the preprocessor / presets)
+    expected_num_unique_items: int = 3706
+    expected_max_item_id: int = 3952
+    # synthetic fallback (no-egress environments)
+    synthetic_num_users: int = 2048
+    item_year_feature: bool = False
+
+
+@dataclass
+class TrainerConfig:
+    seed: int = 42
+    max_epochs: int = 500
+    min_epochs: int = 10
+    monitor: str = "val/ndcg@100"
+    mode: str = "max"
+    early_stop_patience: int = 20
+    check_val_every_n_epoch: int = 1
+    limit_train_batches: float = 1.0
+    limit_val_batches: float = 1.0
+    fast_dev_run: bool = False
+    overfit_batches: int = 0
+    log_every_n_steps: int = 50
+    output_dir: str = "outputs"
+    ckpt_path: str = ""  # resume path
+    save_top_k: int = 1
+    detect_anomaly: bool = False  # jax.debug_nans
+    profiler: bool = False
+    # mesh: number of data-parallel shards; 0 -> all visible devices
+    num_devices: int = 0
+
+
+@dataclass
+class Config:
+    experiment: str = "ml-1m-hstu"
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer1: OptimizerConfig = field(default_factory=OptimizerConfig)
+    optimizer2: OptimizerConfig = field(
+        default_factory=lambda: OptimizerConfig(enabled=False)
+    )
+    scheduler1: SchedulerConfig = field(default_factory=SchedulerConfig)
+    scheduler2: SchedulerConfig = field(
+        default_factory=lambda: SchedulerConfig(kind="none")
+    )
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+
+
+# --------------------------------------------------------------------------
+# Derived-dim resolution (the reference's datamodule->model dim flow)
+# --------------------------------------------------------------------------
+
+
+def resolve(cfg: Config, max_item_id: int) -> Config:
+    """Fill 0-valued derived dims from data, like the reference's
+    __hydra_init_submodules (generative_recommenders.py:105-239)."""
+    m = cfg.model
+    if m.embedding.num_items == 0:
+        m.embedding.num_items = max_item_id
+    if m.embedding.item_embedding_dim != m.item_embedding_dim:
+        m.embedding.item_embedding_dim = m.item_embedding_dim
+    if m.encoder.attention_dim == 0:
+        m.encoder.attention_dim = m.item_embedding_dim
+    if m.encoder.linear_dim == 0:
+        m.encoder.linear_dim = m.item_embedding_dim
+    if m.encoder.ffn_hidden_dim == 0:
+        m.encoder.ffn_hidden_dim = m.item_embedding_dim
+    if cfg.data.eval_batch_size == 0:
+        cfg.data.eval_batch_size = cfg.data.batch_size
+    return cfg
+
+
+def max_seq_len(cfg: Config) -> int:
+    """data.max_sequence_length + gr_output_length + 1 (model/hstu.yaml:13)."""
+    return cfg.data.max_sequence_length + cfg.model.gr_output_length + 1
+
+
+# --------------------------------------------------------------------------
+# Dotted overrides:  model.encoder.num_blocks=4  trainer.fast_dev_run=true
+# --------------------------------------------------------------------------
+
+
+def _coerce(value: str, target_type: Any) -> Any:
+    if target_type is bool or isinstance(target_type, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type is str:
+        return value
+    # tuples / Optional / etc: try JSON then literal string
+    try:
+        parsed = json.loads(value)
+        if isinstance(parsed, list):
+            return tuple(parsed)
+        return parsed
+    except (json.JSONDecodeError, ValueError):
+        return value
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"Override must be key.path=value, got: {ov!r}")
+        path, value = ov.split("=", 1)
+        obj = cfg
+        parts = path.split(".")
+        for p in parts[:-1]:
+            if not hasattr(obj, p):
+                raise ValueError(f"Unknown config path: {path!r} (at {p!r})")
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise ValueError(f"Unknown config key: {path!r}")
+        current = getattr(obj, leaf)
+        ftypes = {f.name: f.type for f in dataclasses.fields(obj)}
+        target = type(current) if current is not None else ftypes.get(leaf, str)
+        setattr(obj, leaf, _coerce(value, target))
+    return cfg
+
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(x) for x in cfg]
+    return cfg

@@ -1,0 +1,138 @@
+"""Named experiment presets, mirroring the reference's Hydra experiment
+overlays (configs/experiment/*.yaml): ml-1m-hstu (AdamW), -muon, -scion,
+sasrec baseline, ranking, plus synthetic variants for no-network runs.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Dict
+
+from mygenerativerecommenders_tpu.configs import (
+    Config,
+    OptimizerConfig,
+    SchedulerConfig,
+)
+
+_REGISTRY: Dict[str, Callable[[], Config]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_preset(name: str) -> Config:
+    if name not in _REGISTRY:
+        raise ValueError(f"Unknown preset {name!r}; available: {sorted(_REGISTRY)}")
+    cfg = _REGISTRY[name]()
+    cfg.experiment = name
+    return cfg
+
+
+def list_presets() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+@register("ml-1m-hstu")
+def ml_1m_hstu() -> Config:
+    """configs/experiment/ml-1m-hstu.yaml: AdamW lr 1e-3 β(0.9,0.98) wd 1e-3,
+    batch 128, plateau on val/ndcg@100, early stop 20, <=500 epochs."""
+    cfg = Config()
+    cfg.data.dataset_name = "ml-1m"
+    cfg.data.batch_size = 128
+    cfg.trainer.max_epochs = 500
+    cfg.trainer.min_epochs = 10
+    return cfg
+
+
+@register("ml-1m-hstu-muon")
+def ml_1m_hstu_muon() -> Config:
+    """configs/experiment/ml-1m-hstu-muon.yaml: AdamW lr 5e-4 on
+    embeddings+scalars, Muon lr 5e-3 on encoder matrices."""
+    cfg = ml_1m_hstu()
+    cfg.optimizer1 = OptimizerConfig(
+        kind="adamw", lr=5e-4, betas=(0.9, 0.98), weight_decay=1e-3
+    )
+    cfg.optimizer2 = OptimizerConfig(
+        kind="muon", lr=5e-3, momentum=0.95, nesterov=True, weight_decay=0.0
+    )
+    cfg.scheduler2 = SchedulerConfig(kind="plateau")
+    return cfg
+
+
+@register("ml-1m-hstu-scion")
+def ml_1m_hstu_scion() -> Config:
+    """configs/experiment/ml-1m-hstu-scion.yaml: AdamW on emb+scalars,
+    Scion lr 1e-3 momentum 0.1 Auto-norm unconstrained on matrices."""
+    cfg = ml_1m_hstu()
+    cfg.optimizer2 = OptimizerConfig(
+        kind="scion", lr=1e-3, momentum=0.1, norm="auto", unconstrained=True
+    )
+    cfg.scheduler2 = SchedulerConfig(kind="plateau")
+    return cfg
+
+
+@register("ml-1m-sasrec")
+def ml_1m_sasrec() -> Config:
+    cfg = ml_1m_hstu()
+    cfg.model.encoder.kind = "sasrec"
+    cfg.model.encoder.num_heads = 1
+    return cfg
+
+
+@register("ml-1m-rank")
+def ml_1m_rank() -> Config:
+    """Ranking task: CE rating loss + multiclass metrics (ranking.py)."""
+    cfg = ml_1m_hstu()
+    cfg.model.task = "ranking"
+    cfg.model.preprocessor.kind = "combined_item_and_rating"
+    cfg.model.preprocessor.num_ratings = 6
+    cfg.model.loss.kind = "ce_rating"
+    cfg.model.loss.temperature = 0.05
+    cfg.trainer.monitor = "val/ap"
+    return cfg
+
+
+@register("ml-20m-hstu")
+def ml_20m_hstu() -> Config:
+    cfg = ml_1m_hstu()
+    cfg.data.dataset_name = "ml-20m"
+    cfg.data.expected_num_unique_items = 26744
+    cfg.data.expected_max_item_id = 131262
+    cfg.model.encoder.num_blocks = 8
+    cfg.model.encoder.num_heads = 2
+    return cfg
+
+
+@register("synthetic-hstu")
+def synthetic_hstu() -> Config:
+    """ml-1m-shaped synthetic data (no downloads): full recipe otherwise."""
+    cfg = ml_1m_hstu()
+    cfg.data.dataset_name = "synthetic"
+    return cfg
+
+
+@register("synthetic-smoke")
+def synthetic_smoke() -> Config:
+    """Tiny fast config for tests/CI."""
+    cfg = Config()
+    cfg.data.dataset_name = "synthetic-small"
+    cfg.data.batch_size = 8
+    cfg.data.max_sequence_length = 32
+    cfg.data.synthetic_num_users = 64
+    cfg.data.expected_num_unique_items = 200
+    cfg.data.expected_max_item_id = 220
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.num_blocks = 2
+    cfg.model.loss.num_to_sample = 16
+    cfg.model.index.k = 20
+    cfg.model.metrics.at_k_list = (5, 10, 20)
+    cfg.trainer.monitor = "val/ndcg@10"
+    cfg.trainer.max_epochs = 2
+    cfg.trainer.min_epochs = 1
+    cfg.trainer.log_every_n_steps = 1
+    return cfg

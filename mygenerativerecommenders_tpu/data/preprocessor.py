@@ -1,0 +1,236 @@
+"""Offline ETL: raw interaction logs -> per-user chronological sequence CSVs.
+
+Reproduces the reference's DataProcessor family (data/preprocessor.py):
+
+- `MovielensDataProcessor` (preprocessor.py:86-283): ml-1m/ml-20m zips ->
+  users/movies/ratings frames -> per-user `sasrec_format.csv` with columns
+  user_id, sequence_item_ids, sequence_ratings, sequence_timestamps (each
+  a Python-list literal, chronologically sorted), plus movies.csv with
+  cleaned title/year/genres and a 90/10 user train/test split.
+- `AmazonDataProcessor` (preprocessor.py:286-394): ratings CSV with
+  string item ids -> integer-coded sequences.
+- `SyntheticDataProcessor`: NEW — generates a power-law synthetic catalog
+  in the identical output format so the full pipeline runs in
+  network-isolated environments (this sandbox, CI) without downloads.
+
+All output formats are byte-compatible with the reference so either
+framework can consume either's processed data.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class DataProcessor:
+    download_path: str = ""
+    saved_name: str = ""
+    prefix: str = "ml-1m"
+    data_dir: str = "tmp"
+    expected_num_unique_items: int = 0
+    expected_max_item_id: int = 0
+    convert_timestamp: bool = False
+
+    def processed_dir(self) -> str:
+        return os.path.join(self.data_dir, "processed", self.prefix)
+
+    def output_format_csv(self) -> str:
+        return os.path.join(self.processed_dir(), "sasrec_format.csv")
+
+    def processed_item_csv(self) -> str:
+        return os.path.join(self.processed_dir(), "movies.csv")
+
+    def train_split_csv(self) -> str:
+        return os.path.join(self.processed_dir(), "sasrec_format_train.csv")
+
+    def test_split_csv(self) -> str:
+        return os.path.join(self.processed_dir(), "sasrec_format_test.csv")
+
+    def preprocess_rating(self) -> int:
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def _write_sequences(self, ratings: pd.DataFrame, seed: int = 42) -> int:
+        """Group chronologically-sorted ratings by user and write the
+        sequence CSV + 90/10 user split (preprocessor.py:232-270)."""
+        os.makedirs(self.processed_dir(), exist_ok=True)
+        ratings = ratings.sort_values(by=["user_id", "unix_timestamp"], kind="stable")
+        grouped = ratings.groupby("user_id", sort=True).agg(list)
+        out = pd.DataFrame(
+            {
+                "user_id": grouped.index,
+                "sequence_item_ids": grouped["movie_id"].map(lambda x: str(list(x))),
+                "sequence_ratings": grouped["rating"].map(lambda x: str(list(x))),
+                "sequence_timestamps": grouped["unix_timestamp"].map(
+                    lambda x: str(list(x))
+                ),
+            }
+        ).reset_index(drop=True)
+        out.to_csv(self.output_format_csv(), index=False)
+
+        rng = np.random.default_rng(seed)
+        users = out["user_id"].to_numpy()
+        shuffled = rng.permutation(users)
+        n_train = int(len(users) * 0.9)
+        train_users = set(shuffled[:n_train].tolist())
+        out[out["user_id"].isin(train_users)].to_csv(self.train_split_csv(), index=False)
+        out[~out["user_id"].isin(train_users)].to_csv(self.test_split_csv(), index=False)
+        return len(out)
+
+
+@dataclass
+class MovielensDataProcessor(DataProcessor):
+    def download(self) -> str:
+        import urllib.request
+
+        os.makedirs(os.path.dirname(self.saved_name) or ".", exist_ok=True)
+        if not os.path.exists(self.saved_name):
+            urllib.request.urlretrieve(self.download_path, self.saved_name)
+        extract_dir = os.path.join(self.data_dir, "raw")
+        os.makedirs(extract_dir, exist_ok=True)
+        with zipfile.ZipFile(self.saved_name) as zf:
+            zf.extractall(extract_dir)
+        return os.path.join(extract_dir, self.prefix)
+
+    def preprocess_rating(self) -> int:
+        raw_dir = self.download()
+        if self.prefix == "ml-1m":
+            ratings = pd.read_csv(
+                os.path.join(raw_dir, "ratings.dat"),
+                sep="::",
+                engine="python",
+                names=["user_id", "movie_id", "rating", "unix_timestamp"],
+                encoding="latin-1",
+            )
+            movies = pd.read_csv(
+                os.path.join(raw_dir, "movies.dat"),
+                sep="::",
+                engine="python",
+                names=["movie_id", "title", "genres"],
+                encoding="latin-1",
+            )
+        else:  # ml-20m style
+            ratings = pd.read_csv(os.path.join(raw_dir, "ratings.csv"))
+            ratings.columns = ["user_id", "movie_id", "rating", "unix_timestamp"]
+            movies = pd.read_csv(os.path.join(raw_dir, "movies.csv"))
+            movies.columns = ["movie_id", "title", "genres"]
+
+        # year from the trailing "(YYYY)" in the title; cleaned title w/o it
+        years = movies["title"].str.extract(r"\((\d{4})\)\s*$")[0]
+        movies["year"] = pd.to_numeric(years, errors="coerce").fillna(0).astype(int)
+        movies["cleaned_title"] = (
+            movies["title"].str.replace(r"\s*\(\d{4}\)\s*$", "", regex=True).str.strip()
+        )
+        os.makedirs(self.processed_dir(), exist_ok=True)
+        movies.to_csv(self.processed_item_csv(), index=False)
+        return self._write_sequences(ratings)
+
+
+@dataclass
+class AmazonDataProcessor(DataProcessor):
+    def preprocess_rating(self) -> int:
+        ratings = pd.read_csv(
+            self.saved_name,
+            names=["user_id", "movie_id", "rating", "unix_timestamp"],
+        )
+        # integer-code string ids, 1-based (0 reserved for padding)
+        ratings["user_id"] = pd.factorize(ratings["user_id"])[0] + 1
+        item_codes, item_uniques = pd.factorize(ratings["movie_id"])
+        ratings["movie_id"] = item_codes + 1
+        os.makedirs(self.processed_dir(), exist_ok=True)
+        pd.DataFrame(
+            {
+                "movie_id": np.arange(1, len(item_uniques) + 1),
+                "title": item_uniques,
+                "genres": "unknown",
+                "year": 0,
+                "cleaned_title": item_uniques,
+            }
+        ).to_csv(self.processed_item_csv(), index=False)
+        return self._write_sequences(ratings)
+
+
+@dataclass
+class SyntheticDataProcessor(DataProcessor):
+    """Synthetic power-law interaction data in the same output format."""
+
+    num_users: int = 2048
+    num_items: int = 3706
+    max_item_id: int = 3952
+    min_seq_len: int = 5
+    max_seq_len: int = 200
+    seed: int = 0
+    missing_item_fraction: float = 0.0  # fraction of [1, max_item_id] absent
+
+    def __post_init__(self):
+        if self.expected_num_unique_items == 0:
+            self.expected_num_unique_items = self.num_items
+        if self.expected_max_item_id == 0:
+            self.expected_max_item_id = self.max_item_id
+
+    def preprocess_rating(self) -> int:
+        rng = np.random.default_rng(self.seed)
+        # choose which ids exist in the catalog (like ml-1m's sparse id space)
+        all_ids = np.arange(1, self.max_item_id + 1)
+        catalog = np.sort(rng.choice(all_ids, size=self.num_items, replace=False))
+        pop = 1.0 / np.arange(1, self.num_items + 1) ** 0.8  # zipf-ish
+        pop /= pop.sum()
+
+        rows = []
+        base_ts = 978_000_000  # ~2001, ml-1m-era timestamps
+        for u in range(1, self.num_users + 1):
+            n = int(rng.integers(self.min_seq_len, self.max_seq_len + 1))
+            items = catalog[rng.choice(self.num_items, size=n, p=pop)]
+            ts = np.sort(base_ts + rng.integers(0, 3 * 365 * 86400, size=n))
+            ratings = rng.integers(1, 6, size=n)
+            rows.append(
+                {
+                    "user_id": u,
+                    "movie_id": items.tolist(),
+                    "rating": ratings.tolist(),
+                    "unix_timestamp": ts.tolist(),
+                }
+            )
+        frame = pd.DataFrame(rows).explode(
+            ["movie_id", "rating", "unix_timestamp"], ignore_index=True
+        )
+
+        os.makedirs(self.processed_dir(), exist_ok=True)
+        years = 1920 + (catalog % 80)
+        pd.DataFrame(
+            {
+                "movie_id": catalog,
+                "title": [f"Synthetic Movie {i} ({y})" for i, y in zip(catalog, years)],
+                "genres": "Synthetic",
+                "year": years,
+                "cleaned_title": [f"Synthetic Movie {i}" for i in catalog],
+            }
+        ).to_csv(self.processed_item_csv(), index=False)
+        return self._write_sequences(frame)
+
+
+def build_processor(dataset_name: str, data_dir: str, **kwargs) -> DataProcessor:
+    if dataset_name in ("ml-1m", "ml-20m"):
+        return MovielensDataProcessor(
+            download_path=(
+                f"http://files.grouplens.org/datasets/movielens/{dataset_name}.zip"
+            ),
+            saved_name=os.path.join(data_dir, f"movielens_{dataset_name}.zip"),
+            prefix=dataset_name,
+            data_dir=data_dir,
+            expected_num_unique_items=3706 if dataset_name == "ml-1m" else 26744,
+            expected_max_item_id=3952 if dataset_name == "ml-1m" else 131262,
+            **kwargs,
+        )
+    if dataset_name.startswith("amzn") or dataset_name.startswith("amazon"):
+        return AmazonDataProcessor(prefix=dataset_name, data_dir=data_dir, **kwargs)
+    if dataset_name.startswith("synthetic"):
+        return SyntheticDataProcessor(prefix=dataset_name, data_dir=data_dir, **kwargs)
+    raise ValueError(f"Unknown dataset {dataset_name}")

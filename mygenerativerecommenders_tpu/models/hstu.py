@@ -1,0 +1,228 @@
+"""HSTU sequential encoder, TPU-first (reference: sequential_encoders/hstu.py).
+
+Design notes vs the reference:
+
+- The reference runs each block on a jagged [sum(N_i), D] tensor and
+  round-trips q/k/v through jagged<->padded conversions per block
+  (hstu.py:179-204). On TPU everything stays dense [B, N, D] with static
+  N; jagged parity is preserved by zeroing invalid positions between
+  blocks. That reproduces the jagged math exactly:
+    * q/k/v/u at invalid positions are silu(LN(0) @ W) = 0 (the uvqk
+      projection has no bias),
+    * so attention receives zero contributions from padded keys exactly as
+      in the jagged path (where padded rows don't exist and padded `v`
+      rows are zero after jagged_to_padded_dense),
+    * the residual+output-bias drift that a naive dense stack would
+      accumulate at padded positions (the `_o` Linear has a bias) is
+      removed by the inter-block re-masking.
+- Each block owns its OWN relative-attention-bias tables, as in the
+  reference (hstu.py:565-589 constructs one bias module per block).
+- The rel time+pos bias (RelativeBucketedTimeAndPositionBasedBias,
+  hstu.py:71-128) is computed as direct gathers (see ops/hstu_attention);
+  with use_pallas=True the bias generation is fused into the attention
+  kernel and the [B, N, N] bias tensor is never materialized in HBM.
+- `normalization="rel_bias"` is the HSTU pointwise silu path
+  (hstu.py:134-205); `"softmax_rel_bias"` matches the alternative softmax
+  path (hstu.py:341-389).
+- Parameter init matches: uvqk ~ N(0, 0.02) (hstu.py:237-246), output
+  projection Xavier-uniform with zero bias (hstu.py:251-255), bias tables
+  ~ N(0, 0.02) (hstu.py:85-90).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mygenerativerecommenders_tpu.ops.hstu_attention import (
+    hstu_attention_reference,
+    relative_position_bias,
+    relative_time_bias,
+)
+
+TIMESTAMPS_KEY = "timestamps"
+
+
+def _normal_init(std: float):
+    return jax.nn.initializers.normal(stddev=std)
+
+
+class HSTUBlock(nn.Module):
+    """Sequential Transduction Unit (hstu.py:208-423), dense masked form.
+
+    LN -> fused uvqk matmul -> silu -> split(u,v,q,k) -> pointwise
+    silu-attention with rel bias -> u * LN(attn) -> output linear ->
+    dropout -> +residual.
+    """
+
+    embedding_dim: int
+    linear_dim: int
+    attention_dim: int
+    num_heads: int
+    max_attn_len: int  # static N used for the 1/n normalizer and bias tables
+    dropout_rate: float = 0.0
+    normalization: str = "rel_bias"  # or "softmax_rel_bias"
+    linear_activation: str = "silu"  # or "none"
+    enable_relative_attention_bias: bool = True
+    relative_bias_type: str = "time_position"  # or "position"
+    num_time_buckets: int = 128
+    concat_ua: bool = False
+    eps: float = 1e-6
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, N, D], zero at invalid positions
+        timestamps: Optional[jax.Array],  # [B, N] or None
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        h, dv, dqk = self.num_heads, self.linear_dim, self.attention_dim
+        b, n, d = x.shape
+        n_total = self.max_attn_len
+
+        normed_x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=self.eps)(x)
+        uvqk_w = self.param("uvqk", _normal_init(0.02), (d, 2 * dv * h + 2 * dqk * h))
+        proj = normed_x @ uvqk_w
+        if self.linear_activation == "silu":
+            proj = jax.nn.silu(proj)
+        elif self.linear_activation != "none":
+            raise ValueError(f"Unknown linear_activation {self.linear_activation}")
+        u, v, q, k = jnp.split(proj, [dv * h, 2 * dv * h, 2 * dv * h + dqk * h], axis=-1)
+
+        # per-block bias tables (hstu.py:565-589: one bias module per block)
+        pos_w = ts_w = None
+        if self.enable_relative_attention_bias:
+            pos_w = self.param(
+                "rel_bias_pos_w", _normal_init(0.02), (2 * n_total - 1,)
+            )
+            if self.relative_bias_type == "time_position" and timestamps is not None:
+                ts_w = self.param(
+                    "rel_bias_ts_w", _normal_init(0.02), (self.num_time_buckets + 1,)
+                )
+
+        def materialize_bias() -> Optional[jax.Array]:
+            if pos_w is None:
+                return None
+            bias = relative_position_bias(pos_w, n)[None, :, :]
+            if ts_w is not None:
+                bias = bias + relative_time_bias(ts_w, timestamps, self.num_time_buckets)
+            return bias
+
+        qh = q.reshape(b, n, h, dqk)
+        kh = k.reshape(b, n, h, dqk)
+        vh = v.reshape(b, n, h, dv)
+
+        if self.normalization in ("rel_bias", "hstu_rel_bias"):
+            if self.use_pallas and ts_w is not None:
+                from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+                    hstu_attention_fused,
+                )
+
+                attn = hstu_attention_fused(
+                    qh, kh, vh, timestamps, pos_w, ts_w,
+                    max_len=n_total, num_buckets=self.num_time_buckets,
+                )
+            else:
+                attn = hstu_attention_reference(
+                    qh, kh, vh, materialize_bias(), max_len=n_total, causal=True
+                )
+            attn_out = attn.reshape(b, n, h * dv)
+        elif self.normalization == "softmax_rel_bias":
+            # softmax path (hstu.py:341-389): single-head layout, softmax over
+            # scaled logits, causal mask applied after softmax.
+            bias = materialize_bias()
+            logits = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
+            if bias is not None:
+                logits = logits + bias.astype(logits.dtype)
+            probs = jax.nn.softmax(logits / math.sqrt(dqk), axis=-1)
+            causal_mask = jnp.tril(jnp.ones((n, n), dtype=jnp.bool_))
+            probs = jnp.where(causal_mask[None, :, :], probs, 0.0)
+            attn_out = jnp.einsum(
+                "bnm,bmd->bnd", probs, v.astype(probs.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        else:
+            raise ValueError(f"Unknown normalization {self.normalization}")
+
+        a = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=self.eps)(attn_out)
+        if self.concat_ua:
+            o_input = jnp.concatenate([u, a, u * a], axis=-1)
+        else:
+            o_input = u * a
+        o_input = nn.Dropout(rate=self.dropout_rate)(o_input, deterministic=deterministic)
+        out = nn.Dense(
+            features=self.embedding_dim,
+            kernel_init=jax.nn.initializers.xavier_uniform(),
+            bias_init=jax.nn.initializers.zeros,
+            name="o",
+        )(o_input)
+        return out + x
+
+
+class HSTU(nn.Module):
+    """Stack of HSTU blocks over a dense masked batch (hstu.py:521-672).
+
+    Input user_embeddings must already be zero at invalid positions (the
+    preprocessor guarantees this); the stack re-applies the zero-mask
+    between blocks to maintain jagged parity (see module docstring).
+    Output is [B, N, D], zero at invalid positions.
+    """
+
+    max_sequence_len: int
+    max_output_len: int
+    embedding_dim: int
+    num_blocks: int
+    num_heads: int
+    linear_dim: int
+    attention_dim: int
+    normalization: str = "rel_bias"
+    linear_activation: str = "silu"
+    linear_dropout_rate: float = 0.0
+    attn_dropout_rate: float = 0.0
+    enable_relative_attention_bias: bool = True
+    relative_bias_type: str = "time_position"  # or "position"
+    num_time_buckets: int = 128
+    concat_ua: bool = False
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        past_lengths: jax.Array,
+        user_embeddings: jax.Array,  # [B, N, D]
+        valid_mask: jax.Array,  # [B, N, 1]
+        past_payloads: Dict[str, jax.Array],
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        del past_lengths
+        n_total = self.max_sequence_len + self.max_output_len
+        x = user_embeddings
+        timestamps = past_payloads.get(TIMESTAMPS_KEY)
+
+        mask = valid_mask.astype(x.dtype)
+        for i in range(self.num_blocks):
+            x = x * mask  # jagged parity: padded rows stay exactly zero
+            x = HSTUBlock(
+                embedding_dim=self.embedding_dim,
+                linear_dim=self.linear_dim,
+                attention_dim=self.attention_dim,
+                num_heads=self.num_heads,
+                max_attn_len=n_total,
+                dropout_rate=self.linear_dropout_rate,
+                normalization=self.normalization,
+                linear_activation=self.linear_activation,
+                enable_relative_attention_bias=self.enable_relative_attention_bias,
+                relative_bias_type=self.relative_bias_type,
+                num_time_buckets=self.num_time_buckets,
+                concat_ua=self.concat_ua,
+                use_pallas=self.use_pallas,
+                name=f"block_{i}",
+            )(x, timestamps, deterministic=deterministic)
+        return x * mask

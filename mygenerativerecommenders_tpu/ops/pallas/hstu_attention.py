@@ -1,0 +1,238 @@
+"""Fused HSTU attention Pallas TPU kernel.
+
+Replaces the reference's hot loop (_hstu_attention_maybe_from_cache,
+sequential_encoders/hstu.py:134-205), which materializes a [B, N, N]
+bias + attention tensor in HBM per block. This kernel streams K/V tiles
+through VMEM flash-attention style and generates the relative time-bucket
+bias on the fly from the raw timestamps + the [num_buckets+1] table, so
+HBM traffic is O(B*N*D) instead of O(B*N^2):
+
+  out[b,n,h,:] = sum_m  silu(q.k + pos_bias[n,m] + ts_w[bucket(dt)]) / N
+                       * causal(n,m) * v[b,m,h,:]
+
+- the position bias is batch-independent -> precomputed once as a tiny
+  [N_pad, N_pad] array and tiled into the kernel (256KB, free);
+- the time-bucket gather ts_w[bucket] is computed in-kernel via a
+  select-accumulate sweep over the 129 buckets (TPU has no fast generic
+  gather; the table is small so the VPU sweep is cheap);
+- backward (training) recomputes through the jnp reference path via
+  custom_vjp — the fused kernel is the inference/serving fast path, and
+  the forward of training; bwd materializes the bias only transiently.
+
+Tile sizes: BQ = BK = 128 (MXU-native), head dim padded to a multiple
+of 128 lanes handled by XLA layout (we pad to >=8 sublane, 128 lane
+alignment via the wrapper's zero-padding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mygenerativerecommenders_tpu.ops.hstu_attention import (
+    bucketize_timedelta,
+    hstu_attention_reference,
+    relative_position_bias,
+    relative_time_bias,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    # scalar-prefetch-free refs, order = inputs then outputs then scratch
+    q_ref,  # [1, BQ, D]
+    k_ref,  # [1, NP, D]
+    v_ref,  # [1, NP, DV]
+    tsq_ref,  # [1, BQ]  next-item timestamps for query rows
+    tsk_ref,  # [1, NP]  timestamps for key cols
+    posb_ref,  # [BQ, NP] positional bias tile (precomputed, batch-free)
+    tsw_ref,  # [1, NB+1] time-bucket table
+    out_ref,  # [1, BQ, DV]
+    *,
+    bq: int,
+    bk: int,
+    num_buckets: int,
+    inv_n: float,
+    n_valid: int,
+):
+    qi = pl.program_id(2)
+    np_total = k_ref.shape[1]
+    n_k_blocks = np_total // bk
+
+    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+    tsq = tsq_ref[0].astype(jnp.int32)  # [BQ]
+
+    acc = jnp.zeros((bq, v_ref.shape[2]), dtype=jnp.float32)
+
+    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    def body(kj, acc):
+        k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)  # [BK, D]
+        v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)  # [BK, DV]
+        tsk = tsk_ref[0, pl.ds(kj * bk, bk)].astype(jnp.int32)  # [BK]
+
+        s = jax.lax.dot_general(
+            q, k_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+
+        # bias: positional tile + in-kernel time-bucket lookup
+        bias = posb_ref[:, pl.ds(kj * bk, bk)].astype(jnp.float32)
+        delta = tsq[:, None] - tsk[None, :]
+        bucket = bucketize_timedelta(delta, num_buckets)  # [BQ, BK] int32
+
+        def accumulate_bucket(bi, ts_bias):
+            return ts_bias + jnp.where(bucket == bi, tsw_ref[0, bi], 0.0)
+
+        ts_bias = jax.lax.fori_loop(
+            0, num_buckets + 1, accumulate_bucket,
+            jnp.zeros((bq, bk), dtype=jnp.float32),
+        )
+        bias = bias + ts_bias
+
+        a = jax.nn.silu(s + bias) * inv_n
+        col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        causal = row_ids >= col_ids
+        in_range = col_ids < n_valid
+        a = jnp.where(jnp.logical_and(causal, in_range), a, 0.0)
+
+        return acc + jax.lax.dot_general(
+            a, v_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # causal: key blocks beyond the current query block contribute nothing
+    acc = jax.lax.fori_loop(0, qi + 1, body, acc)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(6, 7)
+)
+def hstu_attention_fused(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+    """Fused HSTU attention with on-the-fly relative time+position bias.
+
+    Args:
+      q, k: [B, N, H, Dqk]; v: [B, N, H, Dv] (invalid rows must be zero).
+      timestamps: [B, N] int32.
+      pos_w: [2*max_len - 1] positional table.
+      ts_w: [num_buckets + 1] time-bucket table.
+      max_len: static N (the 1/n normalizer; must equal N).
+      num_buckets: time buckets (reference: 128).
+
+    Returns [B, N, H, Dv] float32.
+    """
+    return _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets)
+
+
+def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+    b, n, h, dqk = q.shape
+    dv = v.shape[-1]
+    assert n == max_len, f"sequence dim {n} != max_len {max_len}"
+
+    bq = bk = 128 if n > 64 else 64
+    np_total = _round_up(n, bq)
+    d_pad = _round_up(dqk, 128)
+    dv_pad = _round_up(dv, 128)
+
+    def pad_to(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    # fold heads into batch; pad seq + feature dims to tile boundaries
+    qf = pad_to(pad_to(q.transpose(0, 2, 1, 3).reshape(b * h, n, dqk), np_total, 1), d_pad, 2)
+    kf = pad_to(pad_to(k.transpose(0, 2, 1, 3).reshape(b * h, n, dqk), np_total, 1), d_pad, 2)
+    vf = pad_to(pad_to(v.transpose(0, 2, 1, 3).reshape(b * h, n, dv), np_total, 1), dv_pad, 2)
+
+    ts = timestamps.astype(jnp.int32)
+    ts_next = jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1)  # ext[n+1]
+    ts_next = pad_to(ts_next, np_total, 1)
+    ts_key = pad_to(ts, np_total, 1)
+    if h > 1:
+        ts_next = jnp.repeat(ts_next, h, axis=0)
+        ts_key = jnp.repeat(ts_key, h, axis=0)
+
+    # batch-independent positional bias, padded: clip indices so padded
+    # rows/cols read a valid table slot (their contributions are masked).
+    i = jnp.arange(np_total)[:, None]
+    j = jnp.arange(np_total)[None, :]
+    pos_idx = jnp.clip((j - i) + (max_len - 1), 0, 2 * max_len - 2)
+    pos_bias = pos_w[pos_idx].astype(jnp.float32)  # [NP, NP]
+
+    ts_w_2d = ts_w.reshape(1, -1).astype(jnp.float32)
+
+    n_q_blocks = np_total // bq
+    grid = (b * h, 1, n_q_blocks)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            bq=bq,
+            bk=bk,
+            num_buckets=num_buckets,
+            inv_n=1.0 / max_len,
+            n_valid=n,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, bq), lambda bh, _, qi: (bh, qi)),
+            pl.BlockSpec((1, np_total), lambda bh, _, qi: (bh, 0)),
+            pl.BlockSpec((bq, np_total), lambda bh, _, qi: (qi, 0)),
+            pl.BlockSpec((1, num_buckets + 1), lambda bh, _, qi: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dv_pad), lambda bh, _, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, np_total, dv_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * n * n * (dqk + dv),
+            bytes_accessed=4 * b * h * n * (2 * dqk + 2 * dv),
+            transcendentals=b * h * n * n * 2,
+        ),
+    )(qf, kf, vf, ts_next, ts_key, pos_bias, ts_w_2d)
+
+    out = out[:, :n, :dv].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
+    return out
+
+
+def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+    bias = relative_position_bias(pos_w, q.shape[1])[None, :, :]
+    bias = bias + relative_time_bias(ts_w, timestamps, num_buckets)
+    return hstu_attention_reference(q, k, v, bias, max_len=max_len, causal=True)
+
+
+def _fused_fwd(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+    out = _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets)
+    return out, (q, k, v, timestamps, pos_w, ts_w)
+
+
+def _fused_bwd(max_len, num_buckets, residuals, g):
+    q, k, v, timestamps, pos_w, ts_w = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, pw_, tw_: _jnp_equivalent(
+            q_, k_, v_, timestamps, pw_, tw_, max_len, num_buckets
+        ),
+        q, k, v, pos_w, ts_w,
+    )
+    dq, dk, dv, dpw, dtw = vjp(g)
+    return dq, dk, dv, None, dpw, dtw
+
+
+hstu_attention_fused.defvjp(_fused_fwd, _fused_bwd)

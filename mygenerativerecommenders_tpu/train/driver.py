@@ -1,0 +1,329 @@
+"""The training driver — jit-compiled replacement for lightning.Trainer.
+
+Owns: mesh setup, param/optimizer init, the epoch loop over the host
+loader, validation (candidate refresh -> filtered top-k -> metrics),
+plateau-LR + early-stop controllers keyed on the monitored metric,
+checkpointing (best + last), CSV/JSONL metric logging, and seeded
+determinism (jax.random key threading replaces L.seed_everything).
+
+Debug profiles mirror the reference's Hydra debug tree (configs/debug/):
+fast_dev_run (1 batch of train/val/test), limit_*_batches, overfit_batches,
+detect_anomaly (jax.debug_nans), profiler (jax.profiler traces).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mygenerativerecommenders_tpu.configs import Config, max_seq_len, resolve, to_dict
+from mygenerativerecommenders_tpu.data.dataset import BatchLoader, RecoData
+from mygenerativerecommenders_tpu.models.metrics import retrieval_metrics
+from mygenerativerecommenders_tpu.models.model import GenerativeRecommender, build_model
+from mygenerativerecommenders_tpu.train.checkpoint import CheckpointManager
+from mygenerativerecommenders_tpu.train.controllers import (
+    EarlyStopping,
+    PlateauLRController,
+)
+from mygenerativerecommenders_tpu.train.loggers import MetricsWriter, RankedLogger
+from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+from mygenerativerecommenders_tpu.train import task_retrieval
+from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+log = RankedLogger(__name__)
+
+
+def make_mesh(num_devices: int = 0) -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.array(devices[:n]).reshape(n), axis_names=("data",))
+
+
+class Trainer:
+    def __init__(self, cfg: Config, data: Optional[RecoData] = None):
+        self.cfg = cfg
+        self.data = data or RecoData(cfg.data, seed=cfg.trainer.seed)
+        resolve(cfg, self.data.max_item_id)
+        self.model: GenerativeRecommender = build_model(cfg)
+        self.mesh = make_mesh(cfg.trainer.num_devices)
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.replicated = NamedSharding(self.mesh, P())
+
+        self.all_item_ids = np.asarray(self.data.all_item_ids, dtype=np.int32)
+        self.rng = jax.random.PRNGKey(cfg.trainer.seed)
+
+        # --- init params with a dummy batch
+        self.rng, init_rng = jax.random.split(self.rng)
+        dummy = self._dummy_batch()
+        seq, _, _ = seq_features_from_batch(dummy, cfg.model.gr_output_length + 1)
+        self.params = jax.jit(self.model.init)(
+            {"params": init_rng, "dropout": init_rng}, seq
+        )
+        self.params = jax.device_put(self.params, self.replicated)
+
+        # --- optimizer
+        opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
+        tx = build_optimizer(cfg.optimizer1, opt2, self.params,
+                             cfg.optimizer1.lr, cfg.optimizer2.lr)
+        self.opt_state = jax.jit(tx.init)(self.params)
+        self.opt_state = jax.device_put(self.opt_state, self.replicated)
+
+        # --- steps
+        self.task = cfg.model.task
+        if self.task == "retrieval":
+            self.train_step = task_retrieval.make_train_step(
+                self.model, cfg, self.all_item_ids
+            )
+            self.eval_step = task_retrieval.make_eval_step(
+                self.model, cfg, self.all_item_ids, self.data.max_item_id
+            )
+            self.candidate_fn = task_retrieval.make_candidate_fn(
+                self.model, cfg, self.all_item_ids
+            )
+        elif self.task == "ranking":
+            from mygenerativerecommenders_tpu.train import task_ranking
+
+            self.train_step = task_ranking.make_train_step(self.model, cfg)
+            self.eval_step = task_ranking.make_eval_step(self.model, cfg)
+            self.candidate_fn = None
+        else:
+            raise ValueError(f"Unknown task {self.task}")
+
+        # --- controllers / io
+        t = cfg.trainer
+        self.lr1_ctrl = PlateauLRController(
+            lr=cfg.optimizer1.lr,
+            mode=cfg.scheduler1.mode,
+            factor=cfg.scheduler1.factor,
+            patience=cfg.scheduler1.patience,
+            threshold=cfg.scheduler1.threshold,
+            min_lr=cfg.scheduler1.min_lr,
+        ) if cfg.scheduler1.kind == "plateau" else None
+        self.lr2_ctrl = PlateauLRController(
+            lr=cfg.optimizer2.lr,
+            mode=cfg.scheduler2.mode,
+            factor=cfg.scheduler2.factor,
+            patience=cfg.scheduler2.patience,
+            threshold=cfg.scheduler2.threshold,
+            min_lr=cfg.scheduler2.min_lr,
+        ) if cfg.scheduler2.kind == "plateau" and cfg.optimizer2.enabled else None
+        self.early_stop = EarlyStopping(mode=t.mode, patience=t.early_stop_patience)
+        self.out_dir = os.path.join(t.output_dir, cfg.experiment)
+        self.writer = MetricsWriter(self.out_dir)
+        self.ckpt = CheckpointManager(
+            os.path.join(self.out_dir, "checkpoints"), monitor=t.monitor, mode=t.mode
+        )
+        self.global_step = 0
+        self.epoch = 0
+        self.lr1 = cfg.optimizer1.lr
+        self.lr2 = cfg.optimizer2.lr
+
+        if t.detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+
+    # ------------------------------------------------------------------
+    def _dummy_batch(self) -> Dict[str, np.ndarray]:
+        b = max(self.cfg.data.batch_size, 1)
+        l = self.cfg.data.max_sequence_length
+        return {
+            "lengths": np.ones(b, dtype=np.int32),
+            "ids": np.ones((b, l), dtype=np.int32),
+            "ratings": np.ones((b, l), dtype=np.int32),
+            "timestamps": np.ones((b, l), dtype=np.int32),
+            "target_id": np.ones(b, dtype=np.int32),
+            "target_rating": np.ones(b, dtype=np.int32),
+            "target_timestamp": np.ones(b, dtype=np.int32),
+            "sample_weight": np.ones(b, dtype=np.float32),
+        }
+
+    def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        return jax.device_put(batch, self.batch_sharding)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, loader: BatchLoader) -> float:
+        t_cfg = self.cfg.trainer
+        limit = len(loader)
+        if t_cfg.fast_dev_run:
+            limit = 1
+        elif t_cfg.overfit_batches:
+            limit = t_cfg.overfit_batches
+        elif t_cfg.limit_train_batches < 1.0:
+            limit = max(1, int(len(loader) * t_cfg.limit_train_batches))
+
+        losses = []
+        start = time.time()
+        examples = 0
+        for i, batch in enumerate(loader):
+            if i >= limit:
+                break
+            self.rng, step_rng = jax.random.split(self.rng)
+            out = self.train_step(
+                self.params, self.opt_state, self._put(batch), step_rng,
+                self.lr1, self.lr2,
+            )
+            self.params, self.opt_state = out.params, out.opt_state
+            self.global_step += 1
+            examples += int(batch["sample_weight"].sum())
+            if self.global_step % t_cfg.log_every_n_steps == 0:
+                loss_val = float(out.loss)
+                losses.append(loss_val)
+                self.writer.log(
+                    {"train/loss": loss_val, "lr1": self.lr1, "lr2": self.lr2},
+                    self.global_step,
+                    self.epoch,
+                )
+        # one final loss read per epoch for the epoch summary
+        losses.append(float(out.loss))
+        dt = time.time() - start
+        log.info(
+            f"epoch {self.epoch}: train loss {losses[-1]:.4f} "
+            f"({examples / max(dt, 1e-9):.0f} ex/s)"
+        )
+        return losses[-1]
+
+    # ------------------------------------------------------------------
+    def eval_epoch(self, loader: BatchLoader, prefix: str = "val") -> Dict[str, float]:
+        t_cfg = self.cfg.trainer
+        limit = len(loader)
+        if t_cfg.fast_dev_run:
+            limit = 1
+        elif prefix == "val" and t_cfg.limit_val_batches < 1.0:
+            limit = max(1, int(len(loader) * t_cfg.limit_val_batches))
+
+        if self.task == "ranking":
+            from mygenerativerecommenders_tpu.models.metrics import multiclass_metrics
+
+            all_probs, all_targets = [], []
+            for i, batch in enumerate(loader):
+                if i >= limit:
+                    break
+                probs = self.eval_step(self.params, self._put(batch))
+                valid = batch["sample_weight"] > 0
+                all_probs.append(np.asarray(probs)[valid])
+                all_targets.append(batch["target_rating"][valid])
+            results = multiclass_metrics(
+                np.concatenate(all_probs, axis=0),
+                np.concatenate(all_targets, axis=0),
+                num_classes=self.cfg.model.preprocessor.num_ratings,
+            )
+        else:
+            candidates = self.candidate_fn(self.params)
+            all_topk, all_targets = [], []
+            for i, batch in enumerate(loader):
+                if i >= limit:
+                    break
+                top_ids, _ = self.eval_step(self.params, self._put(batch), candidates)
+                valid = batch["sample_weight"] > 0
+                all_topk.append(np.asarray(top_ids)[valid])
+                all_targets.append(batch["target_id"][valid])
+            top_k_ids = np.concatenate(all_topk, axis=0)
+            target_ids = np.concatenate(all_targets, axis=0)[:, None]
+            results = retrieval_metrics(
+                top_k_ids, target_ids, self.cfg.model.metrics.at_k_list
+            )
+        self.writer.log(
+            {f"{prefix}/{k}": v for k, v in results.items()},
+            self.global_step,
+            self.epoch,
+        )
+        return results
+
+    # ------------------------------------------------------------------
+    def fit(self) -> Dict[str, float]:
+        cfg, t = self.cfg, self.cfg.trainer
+        monitor_key = t.monitor.split("/", 1)[1] if "/" in t.monitor else t.monitor
+        train_loader = self.data.loader("train")
+        val_loader = self.data.loader("val")
+        if t.ckpt_path:
+            self.restore(t.ckpt_path)
+        last_results: Dict[str, float] = {}
+        max_epochs = 1 if t.fast_dev_run else t.max_epochs
+        for self.epoch in range(self.epoch, max_epochs):
+            self.train_epoch(train_loader)
+            if (self.epoch + 1) % t.check_val_every_n_epoch != 0:
+                continue
+            results = self.eval_epoch(val_loader, "val")
+            last_results = results
+            metric = results.get(monitor_key)
+            log.info(
+                f"epoch {self.epoch}: "
+                + " ".join(f"val/{k}={v:.4f}" for k, v in results.items())
+            )
+            if metric is not None:
+                if self.lr1_ctrl is not None:
+                    self.lr1 = self.lr1_ctrl.step(metric)
+                if self.lr2_ctrl is not None:
+                    self.lr2 = self.lr2_ctrl.step(metric)
+                self.ckpt.save(
+                    self.params,
+                    self.opt_state,
+                    step=self.global_step,
+                    epoch=self.epoch,
+                    metric_value=metric,
+                    extra=self._controller_state(),
+                )
+                if (
+                    self.epoch + 1 >= t.min_epochs
+                    and self.early_stop.step(metric)
+                ):
+                    log.info(f"early stopping at epoch {self.epoch}")
+                    break
+        return last_results
+
+    def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        path = ckpt_path or self.ckpt.best_path
+        if path and os.path.exists(str(path)):
+            self.params = self.ckpt.restore(
+                str(path), {"params": self.params, "opt_state": self.opt_state}
+            )["params"]
+            log.info(f"loaded checkpoint {path}")
+        return self.eval_epoch(self.data.loader("test"), "test")
+
+    def predict(self) -> Dict[str, list]:
+        candidates = self.candidate_fn(self.params)
+        loader = self.data.loader("test")
+        top_ids_all, top_scores_all = [], []
+        for batch in loader:
+            ids, scores = self.eval_step(self.params, self._put(batch), candidates)
+            valid = batch["sample_weight"] > 0
+            top_ids_all.extend(np.asarray(ids)[valid].tolist())
+            top_scores_all.extend(np.asarray(scores)[valid].tolist())
+        return {"top_k_ids": top_ids_all, "top_k_scores": top_scores_all}
+
+    # ------------------------------------------------------------------
+    def _controller_state(self) -> Dict[str, Any]:
+        return {
+            "lr1": self.lr1_ctrl.state_dict() if self.lr1_ctrl else None,
+            "lr2": self.lr2_ctrl.state_dict() if self.lr2_ctrl else None,
+            "early_stop": self.early_stop.state_dict(),
+            "rng": np.asarray(jax.random.key_data(self.rng)).tolist(),
+        }
+
+    def restore(self, path: str) -> None:
+        state = self.ckpt.restore(
+            path, {"params": self.params, "opt_state": self.opt_state}
+        )
+        self.params, self.opt_state = state["params"], state["opt_state"]
+        meta = CheckpointManager.load_meta(path)
+        self.global_step = meta["step"]
+        self.epoch = meta["epoch"] + 1
+        extra = meta.get("extra", {})
+        if extra.get("lr1") and self.lr1_ctrl:
+            self.lr1_ctrl.load_state_dict(extra["lr1"])
+            self.lr1 = self.lr1_ctrl.lr
+        if extra.get("lr2") and self.lr2_ctrl:
+            self.lr2_ctrl.load_state_dict(extra["lr2"])
+            self.lr2 = self.lr2_ctrl.lr
+        if extra.get("early_stop"):
+            self.early_stop.load_state_dict(extra["early_stop"])
+        if extra.get("rng"):
+            self.rng = jax.random.wrap_key_data(
+                jnp.asarray(extra["rng"], dtype=jnp.uint32)
+            )
+        log.info(f"resumed from {path} at epoch {self.epoch}, step {self.global_step}")

@@ -1,0 +1,105 @@
+"""Ranking task: rating prediction (reference: models/ranking.py).
+
+- train step (ranking.py:49-109): scatter target id AND rating at position
+  `length`; forward; CE over the shared rating-embedding logits on the
+  FULL output sequence (lengths+1 supervised positions, no shift).
+- eval (ranking.py:24-47, 115-182): logits = score(normalize(last-position
+  embedding), normalize(rating table)); multiclass AUROC/AP metrics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mygenerativerecommenders_tpu.configs import Config
+from mygenerativerecommenders_tpu.models.losses import ce_rating_loss
+from mygenerativerecommenders_tpu.models.model import GenerativeRecommender
+from mygenerativerecommenders_tpu.ops.sequence import (
+    get_current_embeddings,
+    scatter_at_lengths,
+)
+from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+from mygenerativerecommenders_tpu.train.task_retrieval import (
+    TrainStepOutput,
+    make_sampler,
+)
+from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+
+def make_loss_fn(model: GenerativeRecommender, cfg: Config) -> Callable:
+    sampler = make_sampler(cfg)
+    t = cfg.model.loss.temperature
+    max_out = cfg.model.gr_output_length + 1
+
+    def loss_fn(params: Any, batch: Dict[str, jax.Array], rng: jax.Array) -> jax.Array:
+        seq, target_ids, target_ratings = seq_features_from_batch(batch, max_out)
+        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+        ratings = scatter_at_lengths(
+            seq.past_payloads["ratings"], seq.past_lengths, target_ratings
+        )
+        payloads = dict(seq.past_payloads)
+        payloads["ratings"] = ratings
+        seq = seq._replace(past_ids=past_ids, past_payloads=payloads)
+
+        encoded, _ = model.apply(
+            params, seq, deterministic=False, rngs={"dropout": rng}
+        )  # [B, N, D]
+
+        rating_table = model.apply(params, method=model.ratings_embeddings)
+        rating_table = sampler.normalize_embeddings(rating_table)  # [R, D]
+
+        logits = (
+            model.apply(
+                params, encoded, rating_table[None, None, :, :], method=model.score
+            )
+            / t
+        )  # [B, N, R]
+        weights = (past_ids != 0).astype(jnp.float32)
+        if "sample_weight" in batch:
+            weights = weights * batch["sample_weight"][:, None]
+        return ce_rating_loss(logits, ratings, weights)
+
+    return loss_fn
+
+
+def make_train_step(model: GenerativeRecommender, cfg: Config) -> Callable:
+    loss_fn = make_loss_fn(model, cfg)
+    opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng, lr1, lr2):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        tx = build_optimizer(cfg.optimizer1, opt2, params, lr1, lr2)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return TrainStepOutput(new_params, new_opt_state, loss)
+
+    return train_step
+
+
+def make_eval_step(model: GenerativeRecommender, cfg: Config) -> Callable:
+    """eval_step(params, batch) -> [B, R] class probabilities."""
+    sampler = make_sampler(cfg)
+    max_out = cfg.model.gr_output_length + 1
+
+    @jax.jit
+    def eval_step(params, batch: Dict[str, jax.Array]) -> jax.Array:
+        seq, _, _ = seq_features_from_batch(batch, max_out)
+        encoded, lengths = model.apply(params, seq, deterministic=True)
+        current = sampler.normalize_embeddings(
+            get_current_embeddings(lengths, encoded)
+        )
+        rating_table = sampler.normalize_embeddings(
+            model.apply(params, method=model.ratings_embeddings)
+        )
+        logits = model.apply(
+            params, current, rating_table[None, :, :], method=model.score
+        )  # [B, R]
+        return jax.nn.softmax(logits, axis=-1)
+
+    return eval_step

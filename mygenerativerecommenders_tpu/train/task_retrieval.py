@@ -1,0 +1,207 @@
+"""Retrieval task: jit-compiled train / eval steps.
+
+Replaces the reference's `Retrieval` Lightning head (models/retrieval.py):
+
+- `make_train_step` reproduces training_step (retrieval.py:50-160):
+  scatter target into past_ids -> embed -> forward -> negative sampling ->
+  shift-by-one supervision (outputs[:, :-1] vs ids[:, 1:]) ->
+  sampled-softmax loss -> optimizer update. The manual 2-optimizer
+  zero_grad/backward/step dance collapses into one value_and_grad + optax
+  multi-transform update.
+- `make_eval_step` reproduces retrieve() + validation_step
+  (retrieval.py:20-48, 171-198): forward -> last-position embedding ->
+  filtered brute-force MIPS top-k against the refreshed candidate matrix.
+
+All steps are donate-argnum jitted and mesh-shardable: the batch is
+sharded over the "data" axis, params replicated (or table-sharded via
+parallel/embedding_sharding.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mygenerativerecommenders_tpu.configs import Config
+from mygenerativerecommenders_tpu.models.losses import (
+    bce_loss,
+    sampled_softmax_loss,
+)
+from mygenerativerecommenders_tpu.models.model import GenerativeRecommender
+from mygenerativerecommenders_tpu.models.negatives import (
+    InBatchNegativesSampler,
+    LocalNegativesSampler,
+)
+from mygenerativerecommenders_tpu.ops.sequence import (
+    get_current_embeddings,
+    scatter_at_lengths,
+)
+from mygenerativerecommenders_tpu.ops.topk import mips_top_k
+from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+
+class TrainStepOutput(NamedTuple):
+    params: Any
+    opt_state: Any
+    loss: jax.Array
+
+
+def make_sampler(cfg: Config):
+    s = cfg.model.sampler
+    if s.kind == "local":
+        return LocalNegativesSampler(l2_norm=s.l2_norm, l2_norm_eps=s.l2_norm_eps)
+    if s.kind == "in_batch":
+        return InBatchNegativesSampler(
+            l2_norm=s.l2_norm,
+            l2_norm_eps=s.l2_norm_eps,
+            dedup_embeddings=s.dedup_embeddings,
+        )
+    raise ValueError(f"Unknown sampler kind {s.kind}")
+
+
+def make_loss_fn(
+    model: GenerativeRecommender,
+    cfg: Config,
+    all_item_ids: np.ndarray,
+) -> Callable:
+    """Builds loss_fn(params, batch, rng) -> scalar loss."""
+    sampler = make_sampler(cfg)
+    loss_cfg = cfg.model.loss
+    catalog = jnp.asarray(all_item_ids, dtype=jnp.int32)
+    max_out = cfg.model.gr_output_length + 1
+
+    def loss_fn(params: Any, batch: Dict[str, jax.Array], rng: jax.Array) -> jax.Array:
+        drop_rng, neg_rng = jax.random.split(rng)
+        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
+        # target goes at position `length` (retrieval.py:86-90)
+        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+        seq = seq._replace(past_ids=past_ids)
+
+        def lookup(ids):
+            return model.apply(params, ids, method=model.item_embeddings)
+
+        input_embeddings = lookup(past_ids)
+        seq = seq._replace(past_embeddings=input_embeddings)
+
+        encoded, _ = model.apply(
+            params, seq, deterministic=False, rngs={"dropout": drop_rng}
+        )  # [B, N, D]
+
+        supervision_ids = past_ids
+        outputs = encoded[:, :-1, :]  # [B, N-1, D]
+        sup_ids = supervision_ids[:, 1:]  # [B, N-1]
+        sup_emb = input_embeddings[:, 1:, :]
+        weights = (sup_ids != 0).astype(jnp.float32)
+        if "sample_weight" in batch:
+            weights = weights * batch["sample_weight"][:, None]
+
+        num_neg = loss_cfg.num_to_sample if loss_cfg.kind == "sampled_softmax" else 1
+        if isinstance(sampler, InBatchNegativesSampler):
+            presences = supervision_ids != 0
+            if "sample_weight" in batch:
+                presences = jnp.logical_and(
+                    presences, batch["sample_weight"][:, None] > 0
+                )
+            pool, count = sampler.process_batch(supervision_ids, presences)
+            neg_ids, neg_emb = sampler(
+                neg_rng, sup_ids, num_neg, pool, count, lookup
+            )
+        else:
+            neg_ids, neg_emb = sampler(neg_rng, sup_ids, num_neg, catalog, lookup)
+
+        pos_emb = sampler.normalize_embeddings(sup_emb)
+
+        def score(q, items, ids=None):
+            return model.apply(params, q, items, ids, method=model.score)
+
+        t = loss_cfg.temperature
+        if loss_cfg.kind == "sampled_softmax":
+            pos_logits = score(outputs, pos_emb[..., None, :])[..., 0] / t
+            neg_logits = score(outputs, neg_emb, neg_ids) / t
+            hits = sup_ids[..., None] == neg_ids
+            return sampled_softmax_loss(pos_logits, neg_logits, hits, weights)
+        if loss_cfg.kind == "bce":
+            pos_logits = score(outputs, pos_emb[..., None, :])[..., 0] / t
+            neg_logits = score(outputs, neg_emb)[..., 0] / t
+            accidental = sup_ids == neg_ids[..., 0]
+            return bce_loss(pos_logits, neg_logits, accidental, weights)
+        raise ValueError(f"Unknown retrieval loss {loss_cfg.kind}")
+
+    return loss_fn
+
+
+def make_train_step(
+    model: GenerativeRecommender,
+    cfg: Config,
+    all_item_ids: np.ndarray,
+) -> Callable:
+    """train_step(params, opt_state, batch, rng, lr1, lr2) -> TrainStepOutput."""
+    loss_fn = make_loss_fn(model, cfg, all_item_ids)
+    opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng, lr1, lr2):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        tx = build_optimizer(cfg.optimizer1, opt2, params, lr1, lr2)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return TrainStepOutput(new_params, new_opt_state, loss)
+
+    return train_step
+
+
+def make_candidate_fn(
+    model: GenerativeRecommender, cfg: Config, all_item_ids: np.ndarray
+) -> Callable:
+    """Refresh the candidate matrix: normalized catalog embeddings
+    (retrieval.py:165-169)."""
+    sampler = make_sampler(cfg)
+    catalog = jnp.asarray(all_item_ids, dtype=jnp.int32)
+
+    @jax.jit
+    def candidates(params) -> jax.Array:
+        emb = model.apply(params, catalog, method=model.item_embeddings)
+        return sampler.normalize_embeddings(emb)  # [X, D]
+
+    return candidates
+
+
+def make_eval_step(
+    model: GenerativeRecommender,
+    cfg: Config,
+    all_item_ids: np.ndarray,
+    max_item_id: int,
+) -> Callable:
+    """eval_step(params, batch, candidates) -> (top_k_ids, top_k_scores)."""
+    catalog = jnp.asarray(all_item_ids, dtype=jnp.int32)
+    k = cfg.model.index.k
+    filter_past = cfg.model.index.filter_past_ids
+    max_out = cfg.model.gr_output_length + 1
+
+    @jax.jit
+    def eval_step(
+        params, batch: Dict[str, jax.Array], candidates: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        seq, _, _ = seq_features_from_batch(batch, max_out)
+        input_embeddings = model.apply(
+            params, seq.past_ids, method=model.item_embeddings
+        )
+        seq = seq._replace(past_embeddings=input_embeddings)
+        encoded, lengths = model.apply(params, seq, deterministic=True)
+        current = get_current_embeddings(lengths, encoded)  # [B, D]
+        invalid = seq.past_ids if filter_past else None
+        return mips_top_k(
+            current,
+            candidates,
+            catalog,
+            k=min(k, len(all_item_ids)),
+            invalid_ids=invalid,
+            max_item_id=max_item_id,
+        )
+
+    return eval_step
