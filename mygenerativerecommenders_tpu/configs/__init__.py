@@ -57,7 +57,8 @@ class EncoderConfig:
     enable_relative_attention_bias: bool = True
     relative_bias_type: str = "time_position"
     num_time_buckets: int = 128
-    use_pallas: bool = False
+    # "auto" -> fused Pallas kernels on TPU, jnp elsewhere; or true/false
+    use_pallas: str = "auto"
     # sasrec only
     ffn_hidden_dim: int = 0
 
@@ -165,6 +166,8 @@ class DataConfig:
     # synthetic fallback (no-egress environments)
     synthetic_num_users: int = 2048
     item_year_feature: bool = False
+    # per-user scalar feature columns to carry into batches (aux variant)
+    additional_columns: Tuple[str, ...] = ()
 
 
 @dataclass

@@ -76,6 +76,20 @@ def ml_1m_hstu_scion() -> Config:
     return cfg
 
 
+@register("ml-1m-hstu-aux")
+def ml_1m_hstu_aux() -> Config:
+    """experiment/ml-1m-hstu-aux.yaml: prepend a projected user-feature
+    token (sex/age_group/occupation one-hot + zip_code embedding)."""
+    cfg = ml_1m_hstu()
+    cfg.data.additional_columns = ("sex", "age_group", "occupation", "zip_code")
+    cfg.model.preprocessor.kind = "learnable_positional_aux"
+    cfg.model.preprocessor.auxiliary_columns = cfg.data.additional_columns
+    cfg.model.preprocessor.encoding_types = ("onehot", "onehot", "onehot", "embed")
+    cfg.model.preprocessor.categorical_dims = (2, 7, 21, 3439)
+    cfg.model.preprocessor.categorical_embedding_dims = (0, 0, 0, 32)
+    return cfg
+
+
 @register("ml-1m-sasrec")
 def ml_1m_sasrec() -> Config:
     cfg = ml_1m_hstu()
@@ -113,6 +127,31 @@ def synthetic_hstu() -> Config:
     """ml-1m-shaped synthetic data (no downloads): full recipe otherwise."""
     cfg = ml_1m_hstu()
     cfg.data.dataset_name = "synthetic"
+    return cfg
+
+
+@register("synthetic-rank-smoke")
+def synthetic_rank_smoke() -> Config:
+    """Tiny ranking-task config (combined item+rating preprocessor)."""
+    cfg = synthetic_smoke()
+    cfg.model.task = "ranking"
+    cfg.model.preprocessor.kind = "combined_item_and_rating"
+    cfg.model.preprocessor.num_ratings = 6
+    cfg.model.loss.kind = "ce_rating"
+    cfg.trainer.monitor = "val/ap"
+    return cfg
+
+
+@register("synthetic-aux-smoke")
+def synthetic_aux_smoke() -> Config:
+    """Tiny aux-preprocessor config (synthetic user features)."""
+    cfg = synthetic_smoke()
+    cfg.data.additional_columns = ("sex", "age_group", "occupation", "zip_code")
+    cfg.model.preprocessor.kind = "learnable_positional_aux"
+    cfg.model.preprocessor.auxiliary_columns = cfg.data.additional_columns
+    cfg.model.preprocessor.encoding_types = ("onehot", "onehot", "onehot", "embed")
+    cfg.model.preprocessor.categorical_dims = (2, 7, 21, 100)
+    cfg.model.preprocessor.categorical_embedding_dims = (0, 0, 0, 8)
     return cfg
 
 

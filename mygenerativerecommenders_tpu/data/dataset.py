@@ -51,6 +51,7 @@ class SequenceDataset:
     target_rating: np.ndarray  # [U] int32
     target_timestamp: np.ndarray  # [U] int32
     user_ids: np.ndarray  # [U] int64
+    additional: Dict[str, np.ndarray] = None  # per-user scalar feature cols
 
     def __len__(self) -> int:
         return len(self.lengths)
@@ -64,7 +65,37 @@ class SequenceDataset:
         shift_id_by: int = 0,
         sample_ratio: float = 1.0,
         seed: int = 42,
+        additional_columns: Optional[List[str]] = None,
     ) -> "SequenceDataset":
+        # native C++ fast path (no positional subsampling / id shifting)
+        if (
+            isinstance(csv_path, str)
+            and sample_ratio >= 1.0
+            and shift_id_by == 0
+        ):
+            from mygenerativerecommenders_tpu import native
+
+            parsed = native.parse_sequences_native(
+                csv_path, max_sequence_length, ignore_last_n, chronological
+            )
+            if parsed is not None:
+                additional = {}
+                if additional_columns:
+                    extra = pd.read_csv(csv_path, usecols=list(additional_columns))
+                    for col in additional_columns:
+                        additional[col] = extra[col].to_numpy().astype(np.int32)
+                return SequenceDataset(
+                    lengths=parsed["lengths"],
+                    ids=parsed["ids"],
+                    ratings=parsed["ratings"],
+                    timestamps=parsed["timestamps"],
+                    target_id=parsed["target_id"],
+                    target_rating=parsed["target_rating"],
+                    target_timestamp=parsed["target_timestamp"],
+                    user_ids=parsed["user_ids"],
+                    additional=additional,
+                )
+
         frame = (
             csv_path
             if isinstance(csv_path, pd.DataFrame)
@@ -112,16 +143,24 @@ class SequenceDataset:
                     hist_ts[-L:],
                 )
             else:
+                # reverse-chron mode: newest-first order, keep the newest L
+                # (reco_dataset.py:124 reverses, then :target_len truncates)
                 hist_ids, hist_ratings, hist_ts = (
-                    hist_ids[::-1][:L][::-1],
-                    hist_ratings[::-1][:L][::-1],
-                    hist_ts[::-1][:L][::-1],
+                    hist_ids[::-1][:L],
+                    hist_ratings[::-1][:L],
+                    hist_ts[::-1][:L],
                 )
             n = len(hist_ids)
             lengths[i] = n
             ids[i, :n] = hist_ids
             ratings[i, :n] = hist_ratings
             timestamps[i, :n] = hist_ts
+
+        additional = {}
+        for col in additional_columns or []:
+            if col not in frame.columns:
+                raise ValueError(f"Column {col!r} not in the sequence CSV")
+            additional[col] = frame[col].to_numpy().astype(np.int32)
 
         # rows with empty history are degenerate but kept (length >= 1 is
         # guaranteed by ml-1m's >= 20 ratings/user; synthetic enforces >= 5)
@@ -134,6 +173,7 @@ class SequenceDataset:
             target_rating=target_rating,
             target_timestamp=target_timestamp,
             user_ids=frame["user_id"].to_numpy(),
+            additional=additional,
         )
 
 
@@ -182,7 +222,7 @@ class BatchLoader:
             if pad > 0:
                 idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
                 weight[bs - pad :] = 0.0
-            yield {
+            batch = {
                 "lengths": np.maximum(ds.lengths[idx], 1),
                 "ids": ds.ids[idx],
                 "ratings": ds.ratings[idx],
@@ -192,6 +232,9 @@ class BatchLoader:
                 "target_timestamp": ds.target_timestamp[idx],
                 "sample_weight": weight,
             }
+            for col, values in (ds.additional or {}).items():
+                batch[col] = values[idx]
+            yield batch
 
 
 class RecoData:
@@ -250,6 +293,7 @@ class RecoData:
                     self.cfg.positional_sampling_ratio if split == "train" else 1.0
                 ),
                 seed=self._seed,
+                additional_columns=list(self.cfg.additional_columns),
             )
         return self._splits[split]
 

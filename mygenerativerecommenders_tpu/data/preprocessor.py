@@ -57,9 +57,12 @@ class DataProcessor:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
-    def _write_sequences(self, ratings: pd.DataFrame, seed: int = 42) -> int:
+    def _write_sequences(
+        self, ratings: pd.DataFrame, users: Optional[pd.DataFrame] = None
+    ) -> int:
         """Group chronologically-sorted ratings by user and write the
-        sequence CSV + 90/10 user split (preprocessor.py:232-270)."""
+        sequence CSV (+ user-feature columns) and the 90/10 user-id-
+        threshold split (preprocessor.py:232-270)."""
         os.makedirs(self.processed_dir(), exist_ok=True)
         ratings = ratings.sort_values(by=["user_id", "unix_timestamp"], kind="stable")
         grouped = ratings.groupby("user_id", sort=True).agg(list)
@@ -73,15 +76,15 @@ class DataProcessor:
                 ),
             }
         ).reset_index(drop=True)
+        if users is not None:
+            out = out.merge(users, on="user_id", how="left")
         out.to_csv(self.output_format_csv(), index=False)
 
-        rng = np.random.default_rng(seed)
-        users = out["user_id"].to_numpy()
-        shuffled = rng.permutation(users)
-        n_train = int(len(users) * 0.9)
-        train_users = set(shuffled[:n_train].tolist())
-        out[out["user_id"].isin(train_users)].to_csv(self.train_split_csv(), index=False)
-        out[~out["user_id"].isin(train_users)].to_csv(self.test_split_csv(), index=False)
+        # user-id-threshold split like preprocessor.py:256-270
+        num_users = out["user_id"].nunique()
+        threshold = out["user_id"].sort_values().iloc[int(num_users * 0.9) - 1]
+        out[out["user_id"] <= threshold].to_csv(self.train_split_csv(), index=False)
+        out[out["user_id"] > threshold].to_csv(self.test_split_csv(), index=False)
         return len(out)
 
 
@@ -101,6 +104,7 @@ class MovielensDataProcessor(DataProcessor):
 
     def preprocess_rating(self) -> int:
         raw_dir = self.download()
+        users = None
         if self.prefix == "ml-1m":
             ratings = pd.read_csv(
                 os.path.join(raw_dir, "ratings.dat"),
@@ -116,7 +120,17 @@ class MovielensDataProcessor(DataProcessor):
                 names=["movie_id", "title", "genres"],
                 encoding="latin-1",
             )
-        else:  # ml-20m style
+            # user features, categorical-coded (preprocessor.py:193-205)
+            users = pd.read_csv(
+                os.path.join(raw_dir, "users.dat"),
+                sep="::",
+                engine="python",
+                names=["user_id", "sex", "age_group", "occupation", "zip_code"],
+                encoding="latin-1",
+            )
+            for col in ("sex", "age_group", "occupation", "zip_code"):
+                users[col] = pd.Categorical(users[col]).codes
+        else:  # ml-20m style (no user features)
             ratings = pd.read_csv(os.path.join(raw_dir, "ratings.csv"))
             ratings.columns = ["user_id", "movie_id", "rating", "unix_timestamp"]
             movies = pd.read_csv(os.path.join(raw_dir, "movies.csv"))
@@ -130,7 +144,9 @@ class MovielensDataProcessor(DataProcessor):
         )
         os.makedirs(self.processed_dir(), exist_ok=True)
         movies.to_csv(self.processed_item_csv(), index=False)
-        return self._write_sequences(ratings)
+        if users is not None:
+            users.to_csv(os.path.join(self.processed_dir(), "users.csv"), index=False)
+        return self._write_sequences(ratings, users)
 
 
 @dataclass
@@ -213,7 +229,18 @@ class SyntheticDataProcessor(DataProcessor):
                 "cleaned_title": [f"Synthetic Movie {i}" for i in catalog],
             }
         ).to_csv(self.processed_item_csv(), index=False)
-        return self._write_sequences(frame)
+        # synthetic user features mirroring ml-1m's coded columns so the
+        # aux-preprocessor path runs without downloads
+        users = pd.DataFrame(
+            {
+                "user_id": np.arange(1, self.num_users + 1),
+                "sex": rng.integers(0, 2, size=self.num_users),
+                "age_group": rng.integers(0, 7, size=self.num_users),
+                "occupation": rng.integers(0, 21, size=self.num_users),
+                "zip_code": rng.integers(0, 100, size=self.num_users),
+            }
+        )
+        return self._write_sequences(frame, users)
 
 
 def build_processor(dataset_name: str, data_dir: str, **kwargs) -> DataProcessor:

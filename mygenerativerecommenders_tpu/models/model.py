@@ -19,6 +19,18 @@ import jax
 import jax.numpy as jnp
 
 from mygenerativerecommenders_tpu.configs import Config, ModelConfig, max_seq_len
+
+
+def _resolve_use_pallas(value) -> bool:
+    """"auto" -> TPU backend only; accepts bools and true/false strings."""
+    if isinstance(value, bool):
+        return value
+    v = str(value).lower()
+    if v == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return v in ("1", "true", "yes", "on")
 from mygenerativerecommenders_tpu.models import embeddings as emb_lib
 from mygenerativerecommenders_tpu.models import preprocessors as pre_lib
 from mygenerativerecommenders_tpu.models.hstu import HSTU
@@ -42,6 +54,7 @@ class GenerativeRecommender(nn.Module):
 
     cfg: ModelConfig
     total_seq_len: int  # data.max_sequence_length + gr_output_length + 1
+    year_of_item: tuple = ()  # item id -> year, for the item_year embedding
 
     def setup(self):
         m = self.cfg
@@ -52,9 +65,16 @@ class GenerativeRecommender(nn.Module):
                 init_std=m.embedding.init_std,
             )
         elif m.embedding.kind == "item_year":
-            raise NotImplementedError(
-                "item_year embedding requires the year table; build via "
-                "models.embeddings.ItemYearEmbedding directly"
+            if not self.year_of_item:
+                raise ValueError(
+                    "item_year embedding requires year_of_item (pass the "
+                    "data catalog's item->year table to build_model)"
+                )
+            self.embeddings = emb_lib.ItemYearEmbedding(
+                num_items=m.embedding.num_items,
+                item_embedding_dim=m.item_embedding_dim,
+                year_of_item=self.year_of_item,
+                init_std=m.embedding.init_std,
             )
         else:
             raise ValueError(f"Unknown embedding kind {m.embedding.kind}")
@@ -120,7 +140,7 @@ class GenerativeRecommender(nn.Module):
                 relative_bias_type=enc.relative_bias_type,
                 num_time_buckets=enc.num_time_buckets,
                 concat_ua=enc.concat_ua,
-                use_pallas=enc.use_pallas,
+                use_pallas=_resolve_use_pallas(enc.use_pallas),
             )
         elif enc.kind == "sasrec":
             from mygenerativerecommenders_tpu.models.sasrec import SASRec
@@ -218,9 +238,18 @@ class GenerativeRecommender(nn.Module):
 
         if aux_mask is not None:
             encoded, lengths = mask_dense_by_aux_mask(encoded, aux_mask, lengths)
+            # the reference compacts back to past_ids' N
+            # (generative_recommenders.py:383-389, max_lengths=past_ids.size(1));
+            # lossless because at most `lengths` <= N positions survive.
+            encoded = encoded[:, : seq.past_ids.shape[1], :]
 
         return self.postprocessor(encoded), lengths
 
 
-def build_model(cfg: Config) -> GenerativeRecommender:
-    return GenerativeRecommender(cfg=cfg.model, total_seq_len=max_seq_len(cfg))
+def build_model(cfg: Config, year_of_item=None) -> GenerativeRecommender:
+    years = ()
+    if cfg.model.embedding.kind == "item_year" and year_of_item is not None:
+        years = tuple(int(y) for y in year_of_item)
+    return GenerativeRecommender(
+        cfg=cfg.model, total_seq_len=max_seq_len(cfg), year_of_item=years
+    )

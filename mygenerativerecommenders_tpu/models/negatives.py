@@ -39,7 +39,13 @@ class NegativesSampler:
 
 @dataclasses.dataclass(frozen=True)
 class LocalNegativesSampler(NegativesSampler):
-    """Uniform negatives over the full catalog (with replacement)."""
+    """Uniform negatives over the full catalog (with replacement).
+
+    When `catalog_embeddings` (rows aligned with all_item_ids, already
+    normalized) is provided, sampled rows are gathered from it directly —
+    one [X, D] normalize per step instead of normalizing the full
+    [B, T, R, D] sample tensor (identical math, ~2x less HBM traffic).
+    """
 
     def __call__(
         self,
@@ -48,10 +54,13 @@ class LocalNegativesSampler(NegativesSampler):
         num_to_sample: int,
         all_item_ids: jax.Array,  # [X] int
         lookup: EmbeddingLookup,
+        catalog_embeddings: jax.Array | None = None,  # [X, D] pre-normalized
     ) -> Tuple[jax.Array, jax.Array]:
         shape = positive_ids.shape + (num_to_sample,)
         offsets = jax.random.randint(rng, shape, 0, all_item_ids.shape[0])
         sampled_ids = jnp.take(all_item_ids, offsets, axis=0)
+        if catalog_embeddings is not None:
+            return sampled_ids, jnp.take(catalog_embeddings, offsets, axis=0)
         return sampled_ids, self.normalize_embeddings(lookup(sampled_ids))
 
 

@@ -50,10 +50,10 @@ def _kernel(
     q_ref,  # [1, BQ, D]
     k_ref,  # [1, NP, D]
     v_ref,  # [1, NP, DV]
-    tsq_ref,  # [1, BQ]  next-item timestamps for query rows
-    tsk_ref,  # [1, NP]  timestamps for key cols
+    tsq_ref,  # [1, 1, NP]  next-item timestamps for query rows
+    tsk_ref,  # [1, 1, NP]  timestamps for key cols
     posb_ref,  # [BQ, NP] positional bias tile (precomputed, batch-free)
-    tsw_ref,  # [1, NB+1] time-bucket table
+    tsw_ref,  # [1, NB+1] time-bucket table (SMEM)
     out_ref,  # [1, BQ, DV]
     *,
     bq: int,
@@ -64,10 +64,9 @@ def _kernel(
 ):
     qi = pl.program_id(2)
     np_total = k_ref.shape[1]
-    n_k_blocks = np_total // bk
 
     q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    tsq = tsq_ref[0].astype(jnp.int32)  # [BQ]
+    tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)  # [BQ]
 
     acc = jnp.zeros((bq, v_ref.shape[2]), dtype=jnp.float32)
 
@@ -76,7 +75,7 @@ def _kernel(
     def body(kj, acc):
         k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)  # [BK, D]
         v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)  # [BK, DV]
-        tsk = tsk_ref[0, pl.ds(kj * bk, bk)].astype(jnp.int32)  # [BK]
+        tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)  # [BK]
 
         s = jax.lax.dot_general(
             q, k_tile,
@@ -139,7 +138,7 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
     dv = v.shape[-1]
     assert n == max_len, f"sequence dim {n} != max_len {max_len}"
 
-    bq = bk = 128 if n > 64 else 64
+    bq = bk = 128  # lane-dim slices must be 128-aligned on TPU
     np_total = _round_up(n, bq)
     d_pad = _round_up(dqk, 128)
     dv_pad = _round_up(dv, 128)
@@ -164,6 +163,9 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
     if h > 1:
         ts_next = jnp.repeat(ts_next, h, axis=0)
         ts_key = jnp.repeat(ts_key, h, axis=0)
+    # 3-D layout so the (sublane, lane) block dims can cover the full row
+    ts_next = ts_next[:, None, :]
+    ts_key = ts_key[:, None, :]
 
     # batch-independent positional bias, padded: clip indices so padded
     # rows/cols read a valid table slot (their contributions are masked).
@@ -191,10 +193,14 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
             pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi: (bh, qi, 0)),
             pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi: (bh, 0, 0)),
             pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, bq), lambda bh, _, qi: (bh, qi)),
-            pl.BlockSpec((1, np_total), lambda bh, _, qi: (bh, 0)),
+            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
             pl.BlockSpec((bq, np_total), lambda bh, _, qi: (qi, 0)),
-            pl.BlockSpec((1, num_buckets + 1), lambda bh, _, qi: (0, 0)),
+            pl.BlockSpec(
+                (1, num_buckets + 1),
+                lambda bh, _, qi: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((1, bq, dv_pad), lambda bh, _, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, np_total, dv_pad), jnp.float32),
@@ -218,6 +224,205 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
     return hstu_attention_reference(q, k, v, bias, max_len=max_len, causal=True)
 
 
+# --------------------------------------------------------------------------
+# Fused backward: one Pallas kernel recomputes z and emits (dz, p) stripes
+# plus the time-bucket-table gradient; dq/dk/dv then reduce to three plain
+# batched matmuls and d_pos_w to a tiny diagonal segment-sum — no [B, N, N]
+# gather/scatter ever hits XLA.
+#
+#   z  = q.k^T + bias,  sig = sigmoid(z)
+#   p  = z * sig * (1/N) * mask                      (the fwd attention)
+#   dp = g @ v^T
+#   dz = dp * (sig + z*sig*(1-sig)) * (1/N) * mask   (silu' chain)
+#   dq = dz @ k ; dk = dz^T @ q ; dv = p^T @ g
+#   d_pos_w[(m-n)+N-1] += sum_b dz ; d_ts_w[bucket] += dz
+# --------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    q_ref,  # [1, BQ, D]      (q tile for this program's query block)
+    k_ref,  # [1, NP, D]
+    v_ref,  # [1, NP, DV]
+    g_ref,  # [1, BQ, DV]     cotangent tile
+    tsq_ref,  # [1, 1, NP]
+    tsk_ref,  # [1, 1, NP]
+    posb_ref,  # [BQ, NP]
+    tsw_ref,  # [1, NB+1] (SMEM)
+    dz_ref,  # out [1, BQ, NP]
+    p_ref,  # out [1, BQ, NP]
+    dtw_ref,  # out [1, NB+1] accumulated across the whole grid
+    *,
+    bq: int,
+    bk: int,
+    num_buckets: int,
+    inv_n: float,
+    n_valid: int,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(2)
+    np_total = k_ref.shape[1]
+    n_k_blocks = np_total // bk
+
+    @pl.when(jnp.logical_and(bh == 0, qi == 0))
+    def _init_dtw():
+        dtw_ref[:, :] = jnp.zeros(dtw_ref.shape, dtype=dtw_ref.dtype)
+
+    q = q_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
+    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    def body(kj, dtw_partial):
+        k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
+
+        col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        live = kj <= qi  # causal: later key blocks are entirely masked
+        mask = jnp.logical_and(
+            jnp.logical_and(row_ids >= col_ids, col_ids < n_valid), live
+        )
+
+        s = jax.lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        bias = posb_ref[:, pl.ds(kj * bk, bk)].astype(jnp.float32)
+        delta = tsq[:, None] - tsk[None, :]
+        bucket = bucketize_timedelta(delta, num_buckets)
+
+        def accumulate_bucket(bi, tb):
+            return tb + jnp.where(bucket == bi, tsw_ref[0, bi], 0.0)
+
+        ts_bias = jax.lax.fori_loop(
+            0, num_buckets + 1, accumulate_bucket,
+            jnp.zeros((bq, bk), dtype=jnp.float32),
+        )
+        z = s + bias + ts_bias
+        sig = jax.nn.sigmoid(z)
+        p = jnp.where(mask, z * sig * inv_n, 0.0)
+
+        dp = jax.lax.dot_general(
+            g, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dsilu = sig + z * sig * (1.0 - sig)
+        dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
+
+        dz_ref[0, :, pl.ds(kj * bk, bk)] = dz
+        p_ref[0, :, pl.ds(kj * bk, bk)] = p
+
+        # d_ts_w partial: sweep buckets; scatter each scalar into the
+        # accumulator lane via a vector select (no dynamic indexing)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_buckets + 1), 1)
+
+        def bucket_grad(bi, acc):
+            contrib = jnp.sum(jnp.where(bucket == bi, dz, 0.0))
+            return acc + jnp.where(lane == bi, contrib, 0.0)
+
+        return jax.lax.fori_loop(0, num_buckets + 1, bucket_grad, dtw_partial)
+
+    dtw_partial = jax.lax.fori_loop(
+        0, n_k_blocks, body,
+        jnp.zeros((1, num_buckets + 1), dtype=jnp.float32),
+    )
+    dtw_ref[:, :] = dtw_ref[:, :] + dtw_partial
+
+
+def _fused_bwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g):
+    b, n, h, dqk = q.shape
+    dv_dim = v.shape[-1]
+    bq = bk = 128  # lane-dim slices must be 128-aligned on TPU
+    np_total = _round_up(n, bq)
+    d_pad = _round_up(dqk, 128)
+    dv_pad = _round_up(dv_dim, 128)
+
+    def pad_to(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    def fold(x, d, target_d):
+        return pad_to(
+            pad_to(x.transpose(0, 2, 1, 3).reshape(b * h, n, d), np_total, 1),
+            target_d, 2,
+        )
+
+    qf, kf = fold(q, dqk, d_pad), fold(k, dqk, d_pad)
+    vf, gf = fold(v, dv_dim, dv_pad), fold(g, dv_dim, dv_pad)
+
+    ts = timestamps.astype(jnp.int32)
+    ts_next = pad_to(jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1), np_total, 1)
+    ts_key = pad_to(ts, np_total, 1)
+    if h > 1:
+        ts_next = jnp.repeat(ts_next, h, axis=0)
+        ts_key = jnp.repeat(ts_key, h, axis=0)
+    ts_next, ts_key = ts_next[:, None, :], ts_key[:, None, :]
+
+    i = jnp.arange(np_total)[:, None]
+    j = jnp.arange(np_total)[None, :]
+    pos_idx = jnp.clip((j - i) + (max_len - 1), 0, 2 * max_len - 2)
+    pos_bias = pos_w[pos_idx].astype(jnp.float32)
+    ts_w_2d = ts_w.reshape(1, -1).astype(jnp.float32)
+
+    grid = (b * h, 1, np_total // bq)
+    dz, p, dtw = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            bq=bq, bk=bk, num_buckets=num_buckets,
+            inv_n=1.0 / max_len, n_valid=n,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, bq, dv_pad), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((bq, np_total), lambda bh, _, qi: (qi, 0)),
+            pl.BlockSpec(
+                (1, num_buckets + 1), lambda bh, _, qi: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, num_buckets + 1), lambda bh, _, qi: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, np_total, np_total), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, np_total, np_total), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_buckets + 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(qf, kf, vf, gf, ts_next, ts_key, pos_bias, ts_w_2d)
+
+    # remaining reductions are plain XLA matmuls / tiny segment-sums
+    dqf = jnp.einsum("bnm,bmd->bnd", dz, kf, preferred_element_type=jnp.float32)
+    dkf = jnp.einsum("bnm,bnd->bmd", dz, qf, preferred_element_type=jnp.float32)
+    dvf = jnp.einsum("bnm,bnd->bmd", p, gf, preferred_element_type=jnp.float32)
+
+    def unfold(x, d):
+        return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+    dq = unfold(dqf, dqk).astype(q.dtype)
+    dk = unfold(dkf, dqk).astype(k.dtype)
+    dv = unfold(dvf, dv_dim).astype(v.dtype)
+
+    dz_sum = dz.sum(axis=0)  # [NP, NP]
+    flat_idx = pos_idx.reshape(-1)
+    dpw = jax.ops.segment_sum(
+        dz_sum.reshape(-1), flat_idx, num_segments=2 * max_len - 1
+    ).astype(pos_w.dtype)
+    dtw_out = dtw[0].astype(ts_w.dtype)
+    return dq, dk, dv, dpw, dtw_out
+
+
 def _fused_fwd(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
     out = _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets)
     return out, (q, k, v, timestamps, pos_w, ts_w)
@@ -225,13 +430,9 @@ def _fused_fwd(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 
 def _fused_bwd(max_len, num_buckets, residuals, g):
     q, k, v, timestamps, pos_w, ts_w = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, pw_, tw_: _jnp_equivalent(
-            q_, k_, v_, timestamps, pw_, tw_, max_len, num_buckets
-        ),
-        q, k, v, pos_w, ts_w,
+    dq, dk, dv, dpw, dtw = _fused_bwd_impl(
+        q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g
     )
-    dq, dk, dv, dpw, dtw = vjp(g)
     return dq, dk, dv, None, dpw, dtw
 
 

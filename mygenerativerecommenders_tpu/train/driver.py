@@ -50,7 +50,9 @@ class Trainer:
         self.cfg = cfg
         self.data = data or RecoData(cfg.data, seed=cfg.trainer.seed)
         resolve(cfg, self.data.max_item_id)
-        self.model: GenerativeRecommender = build_model(cfg)
+        self.model: GenerativeRecommender = build_model(
+            cfg, year_of_item=getattr(self.data, "year_of_item", None)
+        )
         self.mesh = make_mesh(cfg.trainer.num_devices)
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
@@ -131,7 +133,7 @@ class Trainer:
     def _dummy_batch(self) -> Dict[str, np.ndarray]:
         b = max(self.cfg.data.batch_size, 1)
         l = self.cfg.data.max_sequence_length
-        return {
+        batch = {
             "lengths": np.ones(b, dtype=np.int32),
             "ids": np.ones((b, l), dtype=np.int32),
             "ratings": np.ones((b, l), dtype=np.int32),
@@ -141,6 +143,9 @@ class Trainer:
             "target_timestamp": np.ones(b, dtype=np.int32),
             "sample_weight": np.ones(b, dtype=np.float32),
         }
+        for col in self.cfg.data.additional_columns:
+            batch[col] = np.zeros(b, dtype=np.int32)
+        return batch
 
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         return jax.device_put(batch, self.batch_sharding)

@@ -112,7 +112,11 @@ def make_loss_fn(
                 neg_rng, sup_ids, num_neg, pool, count, lookup
             )
         else:
-            neg_ids, neg_emb = sampler(neg_rng, sup_ids, num_neg, catalog, lookup)
+            norm_catalog = sampler.normalize_embeddings(lookup(catalog))
+            neg_ids, neg_emb = sampler(
+                neg_rng, sup_ids, num_neg, catalog, lookup,
+                catalog_embeddings=norm_catalog,
+            )
 
         pos_emb = sampler.normalize_embeddings(sup_emb)
 

@@ -55,6 +55,17 @@ def seq_features_from_batch(
     if "years" in batch:
         payloads["years"] = pad(batch["years"].astype(jnp.int32))
 
+    # any extra columns (user features etc.) ride along as payloads, like
+    # the reference's exclude-keys passthrough (features.py:59-83)
+    known = {
+        "lengths", "ids", "timestamps", "ratings", "years",
+        "target_id", "target_rating", "target_timestamp", "target_year",
+        "sample_weight",
+    }
+    for key, value in batch.items():
+        if key not in known:
+            payloads[key] = value
+
     features = SequenceBatch(
         past_lengths=lengths,
         past_ids=ids,

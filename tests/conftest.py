@@ -2,17 +2,22 @@
 
 The TPU analog of the reference's `trainer=ddp_sim` CPU-DDP simulation
 (configs/trainer/ddp_sim.yaml): every test sees an 8-device mesh so
-sharding paths are exercised without TPU hardware.
+sharding paths are exercised without TPU hardware — and the single real
+TPU chip (exclusive-access) is never grabbed by the test suite.
+
+NOTE: `import pytest` already imports jax (via the jaxtyping plugin), so
+env vars set here are too late for JAX's import-time reads; jax.config
+updates still apply because no backend has initialized yet.
 """
 
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

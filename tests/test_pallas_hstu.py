@@ -1,0 +1,74 @@
+"""Pallas fused HSTU attention vs the jnp reference (the analog of the
+reference's fbgemm-vs-fallback parity tests, tests/test_ops.py:56-59).
+
+On the CPU test backend the kernel runs in interpret mode implicitly only
+if supported; we guard with a TPU check and also run interpret via
+pltpu.force_tpu_interpret_mode so CI covers the kernel logic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mygenerativerecommenders_tpu.ops.hstu_attention import (
+    hstu_attention_reference,
+    relative_position_bias,
+    relative_time_bias,
+)
+
+
+def _make(rng, b=2, n=37, h=1, dqk=9, dv=11):
+    q = rng.normal(size=(b, n, h, dqk)).astype(np.float32)
+    k = rng.normal(size=(b, n, h, dqk)).astype(np.float32)
+    v = rng.normal(size=(b, n, h, dv)).astype(np.float32)
+    ts = np.sort(rng.integers(1000, 10**6, size=(b, n)), axis=1).astype(np.int32)
+    pos_w = rng.normal(size=(2 * n - 1,)).astype(np.float32) * 0.02
+    ts_w = rng.normal(size=(129,)).astype(np.float32) * 0.02
+    return map(jnp.asarray, (q, k, v, ts, pos_w, ts_w))
+
+
+def _expected(q, k, v, ts, pos_w, ts_w, n):
+    bias = relative_position_bias(pos_w, n)[None, :, :]
+    bias = bias + relative_time_bias(ts_w, ts, 128)
+    return hstu_attention_reference(q, k, v, bias, max_len=n, causal=True)
+
+
+@pytest.mark.parametrize("n,h,dqk,dv", [(37, 1, 9, 11), (64, 2, 16, 16), (150, 1, 50, 50)])
+def test_fused_matches_reference_interpret(rng, n, h, dqk, dv):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_attention_fused,
+    )
+
+    q, k, v, ts, pos_w, ts_w = _make(rng, n=n, h=h, dqk=dqk, dv=dv)
+    expected = np.asarray(_expected(q, k, v, ts, pos_w, ts_w, n))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(hstu_attention_fused(q, k, v, ts, pos_w, ts_w, n, 128))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_grads_match_reference_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_attention_fused,
+    )
+
+    n = 40
+    q, k, v, ts, pos_w, ts_w = _make(rng, b=1, n=n)
+
+    def loss_fused(q_, k_, v_, pw_, tw_):
+        return (hstu_attention_fused(q_, k_, v_, ts, pw_, tw_, n, 128) ** 2).sum()
+
+    def loss_ref(q_, k_, v_, pw_, tw_):
+        return (_expected(q_, k_, v_, ts, pw_, tw_, n) ** 2).sum()
+
+    # the fused bwd is itself a Pallas kernel: the whole grad computation
+    # (fwd + custom_vjp bwd) must run under interpret mode on CPU
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)

@@ -46,6 +46,30 @@ def test_loss_decreases_overfit(smoke_cfg):
     assert last < first, f"loss did not decrease: {first} -> {last}"
 
 
+def test_ranking_task_fast_dev_run(smoke_cfg, tmp_path):
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+
+    cfg = get_preset("synthetic-rank-smoke")
+    cfg.data.data_dir = smoke_cfg.data.data_dir
+    cfg.trainer.output_dir = str(tmp_path)
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    results = trainer.fit()
+    assert "auroc" in results and "ap" in results
+
+
+def test_aux_preprocessor_fast_dev_run(smoke_cfg, tmp_path):
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+
+    cfg = get_preset("synthetic-aux-smoke")
+    cfg.data.data_dir = smoke_cfg.data.data_dir
+    cfg.trainer.output_dir = str(tmp_path)
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    results = trainer.fit()
+    assert "ndcg@10" in results
+
+
 def test_checkpoint_resume(smoke_cfg):
     import copy
 
