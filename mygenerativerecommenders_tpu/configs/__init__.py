@@ -138,6 +138,7 @@ class OptimizerConfig:
     norm: str = "auto"  # scion norm strategy
     scale: float = 1.0  # scion
     unconstrained: bool = True  # scion
+    scion_init: bool = False  # re-init managed params per the Scion norm
     enabled: bool = True  # optimizer2 slot can be disabled
 
 

@@ -71,6 +71,22 @@ class Trainer:
 
         # --- optimizer
         opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
+        if opt2 is not None and opt2.kind.startswith("scion") and opt2.scion_init:
+            from mygenerativerecommenders_tpu.train.optimizers import (
+                param_labels,
+                scion_init_params,
+            )
+
+            self.rng, init2 = jax.random.split(self.rng)
+            self.params = {
+                **self.params,
+                "params": scion_init_params(
+                    init2,
+                    self.params["params"],
+                    param_labels(self.params)["params"],
+                    opt2,
+                ),
+            }
         tx = build_optimizer(cfg.optimizer1, opt2, self.params,
                              cfg.optimizer1.lr, cfg.optimizer2.lr)
         self.opt_state = jax.jit(tx.init)(self.params)
@@ -164,15 +180,24 @@ class Trainer:
         losses = []
         start = time.time()
         examples = 0
+        profile_dir = os.path.join(self.out_dir, "profile")
         for i, batch in enumerate(loader):
             if i >= limit:
                 break
+            # jax.profiler trace of steps 2-4 of epoch 0 (the reference's
+            # debug=profiler Lightning profile, configs/debug/profiler.yaml)
+            if t_cfg.profiler and self.epoch == 0 and i == 2:
+                jax.profiler.start_trace(profile_dir)
             self.rng, step_rng = jax.random.split(self.rng)
             out = self.train_step(
                 self.params, self.opt_state, self._put(batch), step_rng,
                 self.lr1, self.lr2,
             )
             self.params, self.opt_state = out.params, out.opt_state
+            if t_cfg.profiler and self.epoch == 0 and i == 4:
+                jax.block_until_ready(out.loss)
+                jax.profiler.stop_trace()
+                log.info(f"wrote profiler trace to {profile_dir}")
             self.global_step += 1
             examples += int(batch["sample_weight"].sum())
             if self.global_step % t_cfg.log_every_n_steps == 0:

@@ -244,6 +244,39 @@ def param_labels(params) -> Any:
     )
 
 
+def scion_init_params(rng: jax.Array, params, labels, cfg: OptimizerConfig):
+    """Norm-coupled re-initialization for Scion-managed params
+    (Scion.init, scion.py:271-278 / Norm.init implementations).
+
+    Spectral (2-D): orthogonal * (d_out/d_in)^0.5 * scale;
+    BiasRMS (<=1-D): zeros. Applied only to leaves labeled 'matrix'.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    flat_labels = jax.tree_util.tree_flatten(labels)[0]
+    keys = jax.random.split(rng, len(flat))
+    new_leaves = []
+    for (path, leaf), label, key in zip(flat, flat_labels, keys):
+        if label != "matrix":
+            new_leaves.append(leaf)
+            continue
+        if leaf.ndim >= 2:
+            flat_shape = (leaf.shape[0], int(np_prod(leaf.shape[1:])))
+            w = jax.nn.initializers.orthogonal()(key, flat_shape, leaf.dtype)
+            d_out, d_in = flat_shape
+            w = w * ((d_out / d_in) ** 0.5) * cfg.scale
+            new_leaves.append(w.reshape(leaf.shape))
+        else:
+            new_leaves.append(jnp.zeros_like(leaf))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def np_prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
 def build_optimizer(
     opt1: OptimizerConfig,
     opt2: Optional[OptimizerConfig],
