@@ -1,0 +1,49 @@
+"""Sharded top-k vs single-device brute force on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mygenerativerecommenders_tpu.parallel.mesh import make_mesh
+from mygenerativerecommenders_tpu.parallel.topk_sharded import sharded_mips_top_k
+
+
+def test_sharded_topk_matches_dense(rng):
+    mesh = make_mesh(data=2, model=4)
+    b, x, d, k = 6, 64, 8, 5
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    items = rng.normal(size=(x, d)).astype(np.float32)
+    ids = np.arange(1, x + 1, dtype=np.int32)
+
+    q = jax.device_put(jnp.asarray(queries), NamedSharding(mesh, P()))
+    it = jax.device_put(jnp.asarray(items), NamedSharding(mesh, P("model", None)))
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+
+    top_ids, top_scores = sharded_mips_top_k(mesh, q, it, idv, k)
+    top_ids, top_scores = np.asarray(top_ids), np.asarray(top_scores)
+
+    scores = queries @ items.T
+    for i in range(b):
+        order = np.argsort(-scores[i], kind="stable")[:k]
+        np.testing.assert_array_equal(top_ids[i], ids[order])
+        np.testing.assert_allclose(top_scores[i], scores[i][order], rtol=1e-5)
+
+
+def test_sharded_topk_ignores_padding_rows(rng):
+    mesh = make_mesh(data=2, model=4)
+    b, x, d, k = 2, 64, 4, 3
+    items = rng.normal(size=(x, d)).astype(np.float32)
+    ids = np.arange(1, x + 1, dtype=np.int32)
+    ids[-8:] = 0  # last shard has padding rows
+    items[-8:] = 100.0  # would dominate if not demoted
+
+    q = jax.device_put(
+        jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)),
+        NamedSharding(mesh, P()),
+    )
+    it = jax.device_put(jnp.asarray(items), NamedSharding(mesh, P("model", None)))
+    idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
+    top_ids, _ = sharded_mips_top_k(mesh, q, it, idv, k)
+    assert not (np.asarray(top_ids) == 0).any()
