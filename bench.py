@@ -40,6 +40,10 @@ def make_batch(b, l, num_items, seed=0):
     }
 
 
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
 def bench_ours(batch, steps=30, warmup=5):
     import jax
 
@@ -63,14 +67,17 @@ def bench_ours(batch, steps=30, warmup=5):
 
     dev_batch = jax.device_put(batch)
     lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+    _log("compiling + warmup")
     for i in range(warmup):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
-    jax.block_until_ready(loss)
+    _log(f"warmup loss {float(loss):.4f}")  # host pull guarantees the chain
+    # completed (the tunnel's block_until_ready has been seen to return early)
     t0 = time.perf_counter()
     for i in range(steps):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
-    jax.block_until_ready(loss)
+    final = float(loss)
     dt = time.perf_counter() - t0
+    _log(f"timed {steps} steps in {dt:.3f}s (final loss {final:.4f})")
     b = batch["lengths"].shape[0]
     return b * steps / dt
 

@@ -34,10 +34,12 @@ def sampled_softmax_loss(
     temperature), then the positive's -log_softmax over [pos, negs].
     """
     negative_logits = jnp.where(accidental_hits, _ACCIDENTAL_HIT_LOGIT, negative_logits)
-    all_logits = jnp.concatenate(
-        [positive_logits[..., None], negative_logits], axis=-1
-    )  # [B, T, 1+R]
-    per_pos = -jax.nn.log_softmax(all_logits, axis=-1)[..., 0]
+    # -log_softmax(concat([pos, negs]))[0] == logaddexp(pos, lse(negs)) - pos.
+    # The concat-free form avoids materializing the [B, T, 1+R] tensor,
+    # which XLA lays out poorly on TPU (measured ~25 ms vs ~1 ms at the
+    # ml-1m recipe shapes).
+    neg_lse = jax.nn.logsumexp(negative_logits, axis=-1)
+    per_pos = jnp.logaddexp(positive_logits, neg_lse) - positive_logits
     return _weighted_mean(per_pos, weights)
 
 

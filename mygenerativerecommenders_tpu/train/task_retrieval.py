@@ -72,8 +72,19 @@ def make_loss_fn(
     """Builds loss_fn(params, batch, rng) -> scalar loss."""
     sampler = make_sampler(cfg)
     loss_cfg = cfg.model.loss
-    catalog = jnp.asarray(all_item_ids, dtype=jnp.int32)
+    # NOTE: keep closure constants as NUMPY arrays — device-array
+    # constants are fetched D2H during MLIR lowering, which costs
+    # ~80s/array over the axon TPU tunnel (measured; see PARITY.md).
+    catalog = np.asarray(all_item_ids, dtype=np.int32)
     max_out = cfg.model.gr_output_length + 1
+    # id -> catalog offset (-1 for ids outside the catalog, e.g. padding);
+    # lets the accidental-hit mask compare offsets instead of gathering
+    # [B, T, R] ids (negatives.py sample_offsets docstring)
+    id_to_offset_np = np.full(int(np.max(all_item_ids)) + 1, -1, dtype=np.int32)
+    id_to_offset_np[np.asarray(all_item_ids)] = np.arange(
+        len(all_item_ids), dtype=np.int32
+    )
+    id_to_offset = id_to_offset_np  # numpy on purpose (see catalog note)
 
     def loss_fn(params: Any, batch: Dict[str, jax.Array], rng: jax.Array) -> jax.Array:
         drop_rng, neg_rng = jax.random.split(rng)
@@ -111,12 +122,15 @@ def make_loss_fn(
             neg_ids, neg_emb = sampler(
                 neg_rng, sup_ids, num_neg, pool, count, lookup
             )
+            hits = sup_ids[..., None] == neg_ids
         else:
             norm_catalog = sampler.normalize_embeddings(lookup(catalog))
-            neg_ids, neg_emb = sampler(
-                neg_rng, sup_ids, num_neg, catalog, lookup,
-                catalog_embeddings=norm_catalog,
+            neg_offsets, neg_emb = sampler.sample_offsets(
+                neg_rng, sup_ids, num_neg, norm_catalog
             )
+            sup_offsets = jnp.take(id_to_offset, jnp.clip(sup_ids, 0, None), axis=0)
+            hits = sup_offsets[..., None] == neg_offsets
+            neg_ids = None  # ids never materialized on the hot path
 
         pos_emb = sampler.normalize_embeddings(sup_emb)
 
@@ -127,13 +141,11 @@ def make_loss_fn(
         if loss_cfg.kind == "sampled_softmax":
             pos_logits = score(outputs, pos_emb[..., None, :])[..., 0] / t
             neg_logits = score(outputs, neg_emb, neg_ids) / t
-            hits = sup_ids[..., None] == neg_ids
             return sampled_softmax_loss(pos_logits, neg_logits, hits, weights)
         if loss_cfg.kind == "bce":
             pos_logits = score(outputs, pos_emb[..., None, :])[..., 0] / t
             neg_logits = score(outputs, neg_emb)[..., 0] / t
-            accidental = sup_ids == neg_ids[..., 0]
-            return bce_loss(pos_logits, neg_logits, accidental, weights)
+            return bce_loss(pos_logits, neg_logits, hits[..., 0], weights)
         raise ValueError(f"Unknown retrieval loss {loss_cfg.kind}")
 
     return loss_fn
@@ -165,7 +177,10 @@ def make_candidate_fn(
     """Refresh the candidate matrix: normalized catalog embeddings
     (retrieval.py:165-169)."""
     sampler = make_sampler(cfg)
-    catalog = jnp.asarray(all_item_ids, dtype=jnp.int32)
+    # NOTE: keep closure constants as NUMPY arrays — device-array
+    # constants are fetched D2H during MLIR lowering, which costs
+    # ~80s/array over the axon TPU tunnel (measured; see PARITY.md).
+    catalog = np.asarray(all_item_ids, dtype=np.int32)
 
     @jax.jit
     def candidates(params) -> jax.Array:
@@ -182,7 +197,10 @@ def make_eval_step(
     max_item_id: int,
 ) -> Callable:
     """eval_step(params, batch, candidates) -> (top_k_ids, top_k_scores)."""
-    catalog = jnp.asarray(all_item_ids, dtype=jnp.int32)
+    # NOTE: keep closure constants as NUMPY arrays — device-array
+    # constants are fetched D2H during MLIR lowering, which costs
+    # ~80s/array over the axon TPU tunnel (measured; see PARITY.md).
+    catalog = np.asarray(all_item_ids, dtype=np.int32)
     k = cfg.model.index.k
     filter_past = cfg.model.index.filter_past_ids
     max_out = cfg.model.gr_output_length + 1
