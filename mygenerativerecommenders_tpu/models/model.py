@@ -183,6 +183,14 @@ class GenerativeRecommender(nn.Module):
         else:
             raise ValueError(f"Unknown similarity kind {m.similarity.kind}")
 
+    def init_all(self, seq: SequenceBatch):
+        """Init entry point touching every parameterized submodule —
+        linen only creates params for traced calls, and `score` (MoL has
+        params) is not on the __call__ path."""
+        encoded, lengths = self(seq)
+        _ = self.score(encoded[:, 0, :], encoded[:, :1, :])
+        return encoded, lengths
+
     def item_embeddings(self, ids: jax.Array) -> jax.Array:
         return self.embeddings(ids)
 

@@ -13,6 +13,7 @@ detect_anomaly (jax.debug_nans), profiler (jax.profiler traces).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -64,9 +65,9 @@ class Trainer:
         self.rng, init_rng = jax.random.split(self.rng)
         dummy = self._dummy_batch()
         seq, _, _ = seq_features_from_batch(dummy, cfg.model.gr_output_length + 1)
-        self.params = jax.jit(self.model.init)(
-            {"params": init_rng, "dropout": init_rng}, seq
-        )
+        self.params = jax.jit(
+            functools.partial(self.model.init, method=self.model.init_all)
+        )({"params": init_rng, "dropout": init_rng}, seq)
         self.params = jax.device_put(self.params, self.replicated)
 
         # --- optimizer

@@ -70,6 +70,45 @@ def test_aux_preprocessor_fast_dev_run(smoke_cfg, tmp_path):
     assert "ndcg@10" in results
 
 
+def test_mol_similarity_fast_dev_run(smoke_cfg, tmp_path):
+    import copy
+
+    cfg = copy.deepcopy(smoke_cfg)
+    cfg.model.similarity.kind = "mol"
+    cfg.model.similarity.query_dot_product_groups = 2
+    cfg.model.similarity.item_dot_product_groups = 2
+    cfg.model.similarity.dot_product_dimension = 8
+    cfg.trainer.output_dir = str(tmp_path)
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    results = trainer.fit()
+    assert "ndcg@10" in results
+
+
+def test_in_batch_sampler_fast_dev_run(smoke_cfg, tmp_path):
+    import copy
+
+    cfg = copy.deepcopy(smoke_cfg)
+    cfg.model.sampler.kind = "in_batch"
+    cfg.trainer.output_dir = str(tmp_path)
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    results = trainer.fit()
+    assert "ndcg@10" in results
+
+
+def test_sasrec_fast_dev_run(smoke_cfg, tmp_path):
+    import copy
+
+    cfg = copy.deepcopy(smoke_cfg)
+    cfg.model.encoder.kind = "sasrec"
+    cfg.trainer.output_dir = str(tmp_path)
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    results = trainer.fit()
+    assert "ndcg@10" in results
+
+
 def test_checkpoint_resume(smoke_cfg):
     import copy
 
