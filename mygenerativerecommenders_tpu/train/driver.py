@@ -317,6 +317,8 @@ class Trainer:
         return self.eval_epoch(self.data.loader("test"), "test")
 
     def predict(self) -> Dict[str, list]:
+        if self.task != "retrieval":
+            raise ValueError("predict() produces top-k lists; retrieval task only")
         candidates = self.candidate_fn(self.params)
         loader = self.data.loader("test")
         top_ids_all, top_scores_all = [], []
