@@ -23,10 +23,11 @@ from typing import Any, Optional, Tuple
 
 @dataclass
 class EmbeddingConfig:
-    kind: str = "local"  # local | item_year | categorical
+    kind: str = "local"  # local | item_year | categorical | sharded_local
     item_embedding_dim: int = 50
     num_items: int = 0  # 0 -> filled from data (max item id)
     init_std: float = 0.02
+    num_shards: int = 1  # sharded_local: rows split over the "model" axis
 
 
 @dataclass

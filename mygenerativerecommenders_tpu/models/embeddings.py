@@ -18,6 +18,8 @@ gradients keep it at zero).
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -90,6 +92,67 @@ class ItemYearEmbedding(EmbeddingModule):
             [jnp.take(item_table, ids, axis=0), jnp.take(year_table, year_ids, axis=0)],
             axis=-1,
         )
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.item_embedding_dim
+
+
+class ShardedLocalEmbedding(EmbeddingModule):
+    """Row-sharded item table over the mesh's "model" axis.
+
+    The distributed half the reference's `LocalEmbeddingModule` lacks
+    (embeddings.py:40-101 replicates the table per rank): the [V, D]
+    table is annotated with nn.with_partitioning over ("model", None),
+    and the lookup runs under shard_map — each shard gathers the rows it
+    owns, a psum over "model" assembles full embeddings, and the psum's
+    transpose keeps table gradients fully local to the owning shard
+    (see parallel/embedding_sharding.py for the standalone version).
+
+    Requires an active Mesh with a "model" axis (use
+    parallel.mesh.make_mesh and jax.sharding.use_mesh / set_mesh, or
+    pass shardings at jit boundaries). Vocab is padded to a multiple of
+    the shard count.
+    """
+
+    num_items: int
+    item_embedding_dim: int
+    num_shards: int
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        vocab = ((self.num_items + 1 + self.num_shards - 1) // self.num_shards
+                 ) * self.num_shards
+        rows_per_shard = vocab // self.num_shards
+        table = self.param(
+            "item_emb",
+            _padded_trunc_normal(self.init_std),
+            (vocab, self.item_embedding_dim),
+        )
+        mesh = jax.sharding.get_abstract_mesh()
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("model", None), P()),
+            out_specs=P(),
+        )
+        def _lookup(local_table, flat_ids):
+            shard = jax.lax.axis_index("model")
+            lo = shard * rows_per_shard
+            local_idx = flat_ids - lo
+            in_shard = jnp.logical_and(local_idx >= 0, local_idx < rows_per_shard)
+            rows = jnp.take(local_table, jnp.clip(local_idx, 0, rows_per_shard - 1), axis=0)
+            rows = jnp.where(in_shard[:, None], rows, 0.0)
+            return jax.lax.psum(rows, "model")
+
+        flat = ids.reshape(-1).astype(jnp.int32)
+        out = _lookup(table, flat)
+        return out.reshape(ids.shape + (self.item_embedding_dim,))
 
     @property
     def embedding_dim(self) -> int:

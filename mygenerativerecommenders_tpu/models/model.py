@@ -64,6 +64,13 @@ class GenerativeRecommender(nn.Module):
                 item_embedding_dim=m.item_embedding_dim,
                 init_std=m.embedding.init_std,
             )
+        elif m.embedding.kind == "sharded_local":
+            self.embeddings = emb_lib.ShardedLocalEmbedding(
+                num_items=m.embedding.num_items,
+                item_embedding_dim=m.item_embedding_dim,
+                num_shards=m.embedding.num_shards,
+                init_std=m.embedding.init_std,
+            )
         elif m.embedding.kind == "item_year":
             if not self.year_of_item:
                 raise ValueError(

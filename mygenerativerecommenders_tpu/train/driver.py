@@ -40,9 +40,15 @@ from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
 log = RankedLogger(__name__)
 
 
-def make_mesh(num_devices: int = 0) -> Mesh:
+def make_mesh(num_devices: int = 0, model_axis: int = 1) -> Mesh:
     devices = jax.devices()
     n = num_devices or len(devices)
+    if model_axis > 1:
+        data = n // model_axis
+        return Mesh(
+            np.array(devices[: data * model_axis]).reshape(data, model_axis),
+            axis_names=("data", "model"),
+        )
     return Mesh(np.array(devices[:n]).reshape(n), axis_names=("data",))
 
 
@@ -54,9 +60,18 @@ class Trainer:
         self.model: GenerativeRecommender = build_model(
             cfg, year_of_item=getattr(self.data, "year_of_item", None)
         )
-        self.mesh = make_mesh(cfg.trainer.num_devices)
+        model_axis = (
+            cfg.model.embedding.num_shards
+            if cfg.model.embedding.kind == "sharded_local"
+            else 1
+        )
+        self.mesh = make_mesh(cfg.trainer.num_devices, model_axis=model_axis)
+        if model_axis > 1:
+            # row-sharded embedding: shard_map needs the ambient mesh
+            self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
+        self._table_sharded = model_axis > 1
 
         self.all_item_ids = np.asarray(self.data.all_item_ids, dtype=np.int32)
         self.rng = jax.random.PRNGKey(cfg.trainer.seed)
@@ -69,6 +84,13 @@ class Trainer:
             functools.partial(self.model.init, method=self.model.init_all)
         )({"params": init_rng, "dropout": init_rng}, seq)
         self.params = jax.device_put(self.params, self.replicated)
+        if self._table_sharded:
+            table_sharding = NamedSharding(self.mesh, P("model", None))
+            p = dict(self.params["params"])
+            emb = dict(p["embeddings"])
+            emb["item_emb"] = jax.device_put(emb["item_emb"], table_sharding)
+            p["embeddings"] = emb
+            self.params = {**self.params, "params": p}
 
         # --- optimizer
         opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
