@@ -57,4 +57,7 @@ def sharded_mips_top_k(
         merged_ids = jnp.take_along_axis(all_ids, merged_idx, axis=1)
         return merged_ids, merged_s
 
-    return _local_topk(query_embeddings, item_embeddings, item_ids)
+    # scope the ambient mesh so a different globally-set mesh (e.g. a
+    # Trainer's) can't conflict with the one passed here
+    with jax.sharding.set_mesh(mesh):
+        return _local_topk(query_embeddings, item_embeddings, item_ids)

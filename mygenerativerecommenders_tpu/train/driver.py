@@ -66,8 +66,10 @@ class Trainer:
             else 1
         )
         self.mesh = make_mesh(cfg.trainer.num_devices, model_axis=model_axis)
+        self._mesh_ctx = None
         if model_axis > 1:
-            # row-sharded embedding: shard_map needs the ambient mesh
+            # row-sharded embedding: shard_map needs the ambient mesh.
+            # Global setter; call close() to restore (tests rely on it).
             self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
@@ -350,6 +352,15 @@ class Trainer:
             top_ids_all.extend(np.asarray(ids)[valid].tolist())
             top_scores_all.extend(np.asarray(scores)[valid].tolist())
         return {"top_k_ids": top_ids_all, "top_k_scores": top_scores_all}
+
+    def close(self) -> None:
+        """Restore global state (the ambient mesh) set by this trainer."""
+        if self._mesh_ctx is not None:
+            try:
+                self._mesh_ctx.__exit__(None, None, None)
+            except Exception:
+                pass
+            self._mesh_ctx = None
 
     # ------------------------------------------------------------------
     def _controller_state(self) -> Dict[str, Any]:

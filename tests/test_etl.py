@@ -1,0 +1,56 @@
+"""ETL tests: Amazon CSV processing + split semantics + catalog wiring."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mygenerativerecommenders_tpu.data.preprocessor import (
+    AmazonDataProcessor,
+    SyntheticDataProcessor,
+)
+
+
+def test_amazon_etl(tmp_path):
+    raw = tmp_path / "ratings_Books.csv"
+    rows = []
+    rng = np.random.default_rng(0)
+    users = [f"U{i}" for i in range(8)]
+    items = [f"ASIN{i}" for i in range(30)]
+    for u in users:
+        for t in range(5):
+            rows.append([u, items[rng.integers(0, 30)], float(rng.integers(1, 6)),
+                         1_400_000_000 + int(rng.integers(0, 10**6))])
+    pd.DataFrame(rows).to_csv(raw, index=False, header=False)
+
+    proc = AmazonDataProcessor(
+        prefix="amzn-test", data_dir=str(tmp_path), saved_name=str(raw)
+    )
+    n = proc.preprocess_rating()
+    assert n == 8
+    seqs = pd.read_csv(proc.output_format_csv())
+    assert set(seqs.columns) >= {
+        "user_id", "sequence_item_ids", "sequence_ratings", "sequence_timestamps"
+    }
+    # ids are 1-based integer codes
+    first = eval(seqs["sequence_item_ids"].iloc[0])
+    assert min(first) >= 1
+    # timestamps sorted within each user
+    ts = eval(seqs["sequence_timestamps"].iloc[0])
+    assert ts == sorted(ts)
+    # item table covers the coded id space
+    items_csv = pd.read_csv(proc.processed_item_csv())
+    assert items_csv["movie_id"].min() == 1
+
+
+def test_synthetic_split_threshold(tmp_path):
+    proc = SyntheticDataProcessor(
+        prefix="syn-test", data_dir=str(tmp_path),
+        num_users=20, num_items=50, max_item_id=60, seed=1,
+    )
+    proc.preprocess_rating()
+    train = pd.read_csv(proc.train_split_csv())
+    test = pd.read_csv(proc.test_split_csv())
+    # user-id-threshold split (preprocessor.py:256-270): disjoint, ordered
+    assert train["user_id"].max() < test["user_id"].min()
+    assert len(train) + len(test) == 20
+    assert len(train) == 18  # 90%

@@ -48,9 +48,12 @@ def test_sharded_embedding_trainer_fast_dev_run(tmp_path):
     cfg.model.embedding.num_shards = 2
     cfg.trainer.fast_dev_run = True
     trainer = Trainer(cfg)
-    assert trainer.mesh.shape["model"] == 2
-    results = trainer.fit()
-    assert "ndcg@10" in results
+    try:
+        assert trainer.mesh.shape["model"] == 2
+        results = trainer.fit()
+        assert "ndcg@10" in results
+    finally:
+        trainer.close()  # restore the ambient mesh for later tests
 
 
 def test_sharded_embedding_model_forward_and_grads(mesh, rng):
