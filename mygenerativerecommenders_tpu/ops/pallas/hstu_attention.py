@@ -114,6 +114,64 @@ def _kernel(
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+
+
+def _fwd_train_kernel(
+    q_ref, k_ref, v_ref, tsq_ref, tsk_ref, posb_ref, tsw_ref,
+    out_ref,  # [1, BQ, DV]
+    z_ref,  # out [1, BQ, NP] — saved pre-activation logits (s + bias)
+    *,
+    bq: int,
+    bk: int,
+    num_buckets: int,
+    inv_n: float,
+    n_valid: int,
+):
+    """Training forward: identical math to _kernel, additionally writes the
+    z = q.k^T + bias stripes so the backward never re-runs the bucket
+    sweep. Tiles beyond the causal frontier are left unwritten — the
+    backward masks them with a select, never arithmetic."""
+    qi = pl.program_id(2)
+
+    q = q_ref[0].astype(jnp.float32)
+    tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
+    acc = jnp.zeros((bq, v_ref.shape[2]), dtype=jnp.float32)
+    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    def body(kj, acc):
+        k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
+        s = jax.lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        bias = posb_ref[:, pl.ds(kj * bk, bk)].astype(jnp.float32)
+        delta = tsq[:, None] - tsk[None, :]
+        bucket = bucketize_timedelta(delta, num_buckets)
+
+        def accumulate_bucket(bi, ts_bias):
+            return ts_bias + jnp.where(bucket == bi, tsw_ref[0, bi], 0.0)
+
+        ts_bias = jax.lax.fori_loop(
+            0, num_buckets + 1, accumulate_bucket,
+            jnp.zeros((bq, bk), dtype=jnp.float32),
+        )
+        z = s + bias + ts_bias
+        z_ref[0, :, pl.ds(kj * bk, bk)] = z
+
+        a = jax.nn.silu(z) * inv_n
+        col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        a = jnp.where(
+            jnp.logical_and(row_ids >= col_ids, col_ids < n_valid), a, 0.0
+        )
+        return acc + jax.lax.dot_general(
+            a, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, qi + 1, body, acc)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(6, 7)
 )
@@ -225,29 +283,28 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 
 
 # --------------------------------------------------------------------------
-# Fused backward: one Pallas kernel recomputes z and emits (dz, p) stripes
-# plus the time-bucket-table gradient; dq/dk/dv then reduce to three plain
-# batched matmuls and d_pos_w to a tiny diagonal segment-sum — no [B, N, N]
+# Fused backward from saved z: the training forward (_fwd_train_kernel)
+# writes z = q.k^T + bias, so the backward kernel needs NO q/k matmul and
+# NO bias bucket sweep — it reads z, forms (dz, p) stripes and the
+# time-bucket-table gradient; dq/dk/dv then reduce to three batched
+# matmuls and d_pos_w to a tiny diagonal segment-sum. No [B, N, N]
 # gather/scatter ever hits XLA.
 #
-#   z  = q.k^T + bias,  sig = sigmoid(z)
+#   sig = sigmoid(z)
 #   p  = z * sig * (1/N) * mask                      (the fwd attention)
 #   dp = g @ v^T
 #   dz = dp * (sig + z*sig*(1-sig)) * (1/N) * mask   (silu' chain)
 #   dq = dz @ k ; dk = dz^T @ q ; dv = p^T @ g
-#   d_pos_w[(m-n)+N-1] += sum_b dz ; d_ts_w[bucket] += dz
+#   d_pos_w[(m-n)+N-1] += sum_b dz ; d_ts_w[bucket(dt)] += dz
 # --------------------------------------------------------------------------
 
 
 def _bwd_kernel(
-    q_ref,  # [1, BQ, D]      (q tile for this program's query block)
-    k_ref,  # [1, NP, D]
     v_ref,  # [1, NP, DV]
     g_ref,  # [1, BQ, DV]     cotangent tile
+    z_ref,  # [1, BQ, NP]     saved logits from the training forward
     tsq_ref,  # [1, 1, NP]
     tsk_ref,  # [1, 1, NP]
-    posb_ref,  # [BQ, NP]
-    tsw_ref,  # [1, NB+1] (SMEM)
     dz_ref,  # out [1, BQ, NP]
     p_ref,  # out [1, BQ, NP]
     dtw_ref,  # out [1, NB+1] accumulated across the whole grid
@@ -260,44 +317,28 @@ def _bwd_kernel(
 ):
     bh = pl.program_id(0)
     qi = pl.program_id(2)
-    np_total = k_ref.shape[1]
+    np_total = v_ref.shape[1]
     n_k_blocks = np_total // bk
 
     @pl.when(jnp.logical_and(bh == 0, qi == 0))
     def _init_dtw():
         dtw_ref[:, :] = jnp.zeros(dtw_ref.shape, dtype=dtw_ref.dtype)
 
-    q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_buckets + 1), 1)
 
     def body(kj, dtw_partial):
-        k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
         v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
         tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
-
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        live = kj <= qi  # causal: later key blocks are entirely masked
+        live = kj <= qi  # tiles past the causal frontier hold garbage z
         mask = jnp.logical_and(
             jnp.logical_and(row_ids >= col_ids, col_ids < n_valid), live
         )
 
-        s = jax.lax.dot_general(
-            q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        bias = posb_ref[:, pl.ds(kj * bk, bk)].astype(jnp.float32)
-        delta = tsq[:, None] - tsk[None, :]
-        bucket = bucketize_timedelta(delta, num_buckets)
-
-        def accumulate_bucket(bi, tb):
-            return tb + jnp.where(bucket == bi, tsw_ref[0, bi], 0.0)
-
-        ts_bias = jax.lax.fori_loop(
-            0, num_buckets + 1, accumulate_bucket,
-            jnp.zeros((bq, bk), dtype=jnp.float32),
-        )
-        z = s + bias + ts_bias
+        z = z_ref[0, :, pl.ds(kj * bk, bk)].astype(jnp.float32)
         sig = jax.nn.sigmoid(z)
         p = jnp.where(mask, z * sig * inv_n, 0.0)
 
@@ -310,9 +351,8 @@ def _bwd_kernel(
         dz_ref[0, :, pl.ds(kj * bk, bk)] = dz
         p_ref[0, :, pl.ds(kj * bk, bk)] = p
 
-        # d_ts_w partial: sweep buckets; scatter each scalar into the
-        # accumulator lane via a vector select (no dynamic indexing)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, num_buckets + 1), 1)
+        # d_ts_w: one bucket sweep (the only one left in the backward)
+        bucket = bucketize_timedelta(tsq[:, None] - tsk[None, :], num_buckets)
 
         def bucket_grad(bi, acc):
             contrib = jnp.sum(jnp.where(bucket == bi, dz, 0.0))
@@ -327,7 +367,8 @@ def _bwd_kernel(
     dtw_ref[:, :] = dtw_ref[:, :] + dtw_partial
 
 
-def _fused_bwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g):
+def _prepare(q, k, v, timestamps, max_len):
+    """Shared padding/layout prep for the fused kernels."""
     b, n, h, dqk = q.shape
     dv_dim = v.shape[-1]
     bq = bk = 128  # lane-dim slices must be 128-aligned on TPU
@@ -350,7 +391,7 @@ def _fused_bwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g):
         )
 
     qf, kf = fold(q, dqk, d_pad), fold(k, dqk, d_pad)
-    vf, gf = fold(v, dv_dim, dv_pad), fold(g, dv_dim, dv_pad)
+    vf = fold(v, dv_dim, dv_pad)
 
     ts = timestamps.astype(jnp.int32)
     ts_next = pad_to(jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1), np_total, 1)
@@ -359,26 +400,40 @@ def _fused_bwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g):
         ts_next = jnp.repeat(ts_next, h, axis=0)
         ts_key = jnp.repeat(ts_key, h, axis=0)
     ts_next, ts_key = ts_next[:, None, :], ts_key[:, None, :]
+    return dict(
+        b=b, n=n, h=h, dqk=dqk, dv=dv_dim, bq=bq, bk=bk,
+        np_total=np_total, d_pad=d_pad, dv_pad=dv_pad,
+        qf=qf, kf=kf, vf=vf, ts_next=ts_next, ts_key=ts_key,
+        pad_to=pad_to, fold=fold,
+    )
 
+
+def _pos_bias(pos_w, np_total, max_len):
     i = jnp.arange(np_total)[:, None]
     j = jnp.arange(np_total)[None, :]
     pos_idx = jnp.clip((j - i) + (max_len - 1), 0, 2 * max_len - 2)
-    pos_bias = pos_w[pos_idx].astype(jnp.float32)
-    ts_w_2d = ts_w.reshape(1, -1).astype(jnp.float32)
+    return pos_w[pos_idx].astype(jnp.float32), pos_idx
 
-    grid = (b * h, 1, np_total // bq)
-    dz, p, dtw = pl.pallas_call(
+
+def _fused_fwd_train_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+    """Training forward: returns (out, z) with z saved for the backward."""
+    pr = _prepare(q, k, v, timestamps, max_len)
+    bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
+    pos_bias, _ = _pos_bias(pos_w, np_total, max_len)
+    ts_w_2d = ts_w.reshape(1, -1).astype(jnp.float32)
+    grid = (pr["b"] * pr["h"], 1, np_total // bq)
+
+    out, z = pl.pallas_call(
         functools.partial(
-            _bwd_kernel,
+            _fwd_train_kernel,
             bq=bq, bk=bk, num_buckets=num_buckets,
-            inv_n=1.0 / max_len, n_valid=n,
+            inv_n=1.0 / max_len, n_valid=pr["n"],
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, bq, dv_pad), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, pr["d_pad"]), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, np_total, pr["d_pad"]), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, np_total, pr["dv_pad"]), lambda bh, _, qi: (bh, 0, 0)),
             pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
             pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
             pl.BlockSpec((bq, np_total), lambda bh, _, qi: (qi, 0)),
@@ -388,50 +443,91 @@ def _fused_bwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g):
             ),
         ],
         out_specs=[
+            pl.BlockSpec((1, bq, pr["dv_pad"]), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], np_total, pr["dv_pad"]), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(pr["qf"], pr["kf"], pr["vf"], pr["ts_next"], pr["ts_key"], pos_bias, ts_w_2d)
+
+    n, dv_dim = pr["n"], pr["dv"]
+    out = out[:, :n, :dv_dim].reshape(pr["b"], pr["h"], n, dv_dim).transpose(0, 2, 1, 3)
+    return out, z
+
+
+def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
+    pr = _prepare(q, k, v, timestamps, max_len)
+    bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
+    gf = pr["fold"](g, pr["dv"], pr["dv_pad"])
+    grid = (pr["b"] * pr["h"], 1, np_total // bq)
+
+    dz, p, dtw = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            bq=bq, bk=bk, num_buckets=num_buckets,
+            inv_n=1.0 / max_len, n_valid=pr["n"],
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, np_total, pr["dv_pad"]), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, bq, pr["dv_pad"]), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
+        ],
+        out_specs=[
             pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
             pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
             pl.BlockSpec((1, num_buckets + 1), lambda bh, _, qi: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, np_total, np_total), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, np_total, np_total), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
             jax.ShapeDtypeStruct((1, num_buckets + 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(qf, kf, vf, gf, ts_next, ts_key, pos_bias, ts_w_2d)
+    )(pr["vf"], gf, z, pr["ts_next"], pr["ts_key"])
 
-    # remaining reductions are plain XLA matmuls / tiny segment-sums
-    dqf = jnp.einsum("bnm,bmd->bnd", dz, kf, preferred_element_type=jnp.float32)
-    dkf = jnp.einsum("bnm,bnd->bmd", dz, qf, preferred_element_type=jnp.float32)
+    dqf = jnp.einsum("bnm,bmd->bnd", dz, pr["kf"], preferred_element_type=jnp.float32)
+    dkf = jnp.einsum("bnm,bnd->bmd", dz, pr["qf"], preferred_element_type=jnp.float32)
     dvf = jnp.einsum("bnm,bnd->bmd", p, gf, preferred_element_type=jnp.float32)
+
+    b, h, n = pr["b"], pr["h"], pr["n"]
 
     def unfold(x, d):
         return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
-    dq = unfold(dqf, dqk).astype(q.dtype)
-    dk = unfold(dkf, dqk).astype(k.dtype)
-    dv = unfold(dvf, dv_dim).astype(v.dtype)
+    dq = unfold(dqf, pr["dqk"]).astype(q.dtype)
+    dk = unfold(dkf, pr["dqk"]).astype(k.dtype)
+    dv = unfold(dvf, pr["dv"]).astype(v.dtype)
 
+    _, pos_idx = _pos_bias(jnp.zeros(2 * max_len - 1, jnp.float32), np_total, max_len)
     dz_sum = dz.sum(axis=0)  # [NP, NP]
-    flat_idx = pos_idx.reshape(-1)
     dpw = jax.ops.segment_sum(
-        dz_sum.reshape(-1), flat_idx, num_segments=2 * max_len - 1
-    ).astype(pos_w.dtype)
-    dtw_out = dtw[0].astype(ts_w.dtype)
+        dz_sum.reshape(-1), pos_idx.reshape(-1), num_segments=2 * max_len - 1
+    ).astype(jnp.float32)
+    dtw_out = dtw[0].astype(jnp.float32)
     return dq, dk, dv, dpw, dtw_out
 
 
 def _fused_fwd(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
-    out = _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets)
-    return out, (q, k, v, timestamps, pos_w, ts_w)
+    out, z = _fused_fwd_train_impl(
+        q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets
+    )
+    return out, (q, k, v, timestamps, z)
 
 
 def _fused_bwd(max_len, num_buckets, residuals, g):
-    q, k, v, timestamps, pos_w, ts_w = residuals
+    q, k, v, timestamps, z = residuals
     dq, dk, dv, dpw, dtw = _fused_bwd_impl(
-        q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, g
+        q, k, v, timestamps, z, max_len, num_buckets, g
     )
     return dq, dk, dv, None, dpw, dtw
 
