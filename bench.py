@@ -82,7 +82,7 @@ def bench_ours(batch, steps=30, warmup=5):
     return b * steps / dt
 
 
-def bench_torch_reference(batch, steps=5, warmup=2):
+def bench_torch_reference(batch, steps=3, warmup=1):
     """Eager-torch mirror of the reference train step (CPU), for the ratio."""
     try:
         import torch

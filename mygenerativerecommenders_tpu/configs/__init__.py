@@ -191,6 +191,7 @@ class TrainerConfig:
     save_top_k: int = 1
     detect_anomaly: bool = False  # jax.debug_nans
     profiler: bool = False
+    tensorboard: bool = False  # also write TB event files (tensorboardX)
     # mesh: number of data-parallel shards; 0 -> all visible devices
     num_devices: int = 0
 

@@ -158,7 +158,7 @@ class Trainer:
         ) if cfg.scheduler2.kind == "plateau" and cfg.optimizer2.enabled else None
         self.early_stop = EarlyStopping(mode=t.mode, patience=t.early_stop_patience)
         self.out_dir = os.path.join(t.output_dir, cfg.experiment)
-        self.writer = MetricsWriter(self.out_dir)
+        self.writer = MetricsWriter(self.out_dir, enable_tensorboard=t.tensorboard)
         self.ckpt = CheckpointManager(
             os.path.join(self.out_dir, "checkpoints"), monitor=t.monitor, mode=t.mode
         )
@@ -169,6 +169,19 @@ class Trainer:
 
         if t.detect_anomaly:
             jax.config.update("jax_debug_nans", True)
+
+        # model summary (the RichModelSummary equivalent): params per family
+        counts = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+            keys = [str(getattr(k, "key", k)) for k in path]
+            family = keys[1] if len(keys) > 1 else keys[0]
+            counts[family] = counts.get(family, 0) + int(np.prod(leaf.shape))
+        total = sum(counts.values())
+        log.info(
+            "model params: "
+            + ", ".join(f"{k}={v:,}" for k, v in sorted(counts.items()))
+            + f" | total={total:,}"
+        )
 
     # ------------------------------------------------------------------
     def _dummy_batch(self) -> Dict[str, np.ndarray]:
