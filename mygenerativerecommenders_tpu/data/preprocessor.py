@@ -150,6 +150,43 @@ class MovielensDataProcessor(DataProcessor):
 
 
 @dataclass
+class MovielensNpzDataProcessor(DataProcessor):
+    """ml-20mx16x32 ("ml-1b") npz-shard variant (preprocessor.py:164-184).
+
+    The raw dataset is 16 npz shards `trainx16x32_{i}.npz`, each with
+    `arr_0` = rows of (user_id, movie_id). Like the reference, the rating
+    and timestamp columns are placeholders (user_id / movie_id
+    respectively, preprocessor.py:174-181) — the dataset carries no real
+    ratings or times. Shards must already be on disk under
+    `<data_dir>/raw/<prefix>/` (the reference downloads a tar; this
+    environment has no egress, and the download URL died with the ml-1b
+    hosting anyway)."""
+
+    num_shards: int = 16
+
+    def raw_dir(self) -> str:
+        return os.path.join(self.data_dir, "raw", self.prefix)
+
+    def preprocess_rating(self) -> int:
+        pairs = []
+        for i in range(self.num_shards):
+            path = os.path.join(self.raw_dir(), f"trainx16x32_{i}.npz")
+            with np.load(path) as data:
+                pairs.append(np.asarray(data["arr_0"], dtype=np.int64))
+        arr = np.concatenate(pairs, axis=0)
+        ratings = pd.DataFrame(
+            {
+                "user_id": arr[:, 0],
+                "movie_id": arr[:, 1],
+                "rating": arr[:, 0],  # placeholder (preprocessor.py:177)
+                "unix_timestamp": arr[:, 1],  # placeholder (:178)
+            }
+        )
+        os.makedirs(self.processed_dir(), exist_ok=True)
+        return self._write_sequences(ratings)
+
+
+@dataclass
 class AmazonDataProcessor(DataProcessor):
     def preprocess_rating(self) -> int:
         ratings = pd.read_csv(
@@ -244,6 +281,10 @@ class SyntheticDataProcessor(DataProcessor):
 
 
 def build_processor(dataset_name: str, data_dir: str, **kwargs) -> DataProcessor:
+    if dataset_name == "ml-20mx16x32":
+        return MovielensNpzDataProcessor(
+            prefix=dataset_name, data_dir=data_dir, **kwargs
+        )
     if dataset_name in ("ml-1m", "ml-20m"):
         return MovielensDataProcessor(
             download_path=(

@@ -54,3 +54,45 @@ def test_synthetic_split_threshold(tmp_path):
     assert train["user_id"].max() < test["user_id"].min()
     assert len(train) + len(test) == 20
     assert len(train) == 18  # 90%
+
+
+def test_ml20mx16x32_npz_etl(tmp_path):
+    """npz-shard ETL (reference preprocessor.py:164-184): placeholder
+    rating/timestamp columns, sequence CSV consumable by SequenceDataset."""
+    from mygenerativerecommenders_tpu.data.dataset import SequenceDataset
+    from mygenerativerecommenders_tpu.data.preprocessor import (
+        MovielensNpzDataProcessor,
+        build_processor,
+    )
+
+    raw = tmp_path / "raw" / "ml-20mx16x32"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    num_shards = 4
+    for i in range(num_shards):
+        pairs = np.stack(
+            [
+                rng.integers(1, 12, size=40),  # user ids
+                rng.integers(1, 90, size=40),  # movie ids
+            ],
+            axis=1,
+        )
+        np.savez(raw / f"trainx16x32_{i}.npz", pairs)
+
+    proc = build_processor("ml-20mx16x32", str(tmp_path), num_shards=num_shards)
+    assert isinstance(proc, MovielensNpzDataProcessor)
+    n_users = proc.preprocess_rating()
+    assert n_users == pd.read_csv(proc.output_format_csv())["user_id"].nunique()
+
+    seqs = pd.read_csv(proc.output_format_csv())
+    row = seqs.iloc[0]
+    ids = eval(row["sequence_item_ids"])
+    # placeholder semantics: rating == user_id, timestamp == movie_id
+    assert eval(row["sequence_ratings"]) == [row["user_id"]] * len(ids)
+    assert eval(row["sequence_timestamps"]) == ids
+
+    ds = SequenceDataset.from_csv(
+        proc.output_format_csv(), max_sequence_length=10, ignore_last_n=1
+    )
+    assert len(ds) == n_users
+    assert ds.lengths.max() <= 10
