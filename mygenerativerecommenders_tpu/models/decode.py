@@ -33,7 +33,7 @@ from mygenerativerecommenders_tpu.ops.sequence import (
     get_current_embeddings,
     scatter_at_lengths,
 )
-from mygenerativerecommenders_tpu.ops.topk import mips_top_k
+from mygenerativerecommenders_tpu.ops.topk import masked_mips_scores, mips_top_k
 from mygenerativerecommenders_tpu.utils.features import SequenceBatch
 
 
@@ -200,3 +200,151 @@ def greedy_generate(
         )[:, 0]
         query, cache = decode_step(model, params, cache, next_ids, next_ts)
     return jnp.stack(generated, axis=1)
+
+
+def _last_timestamps(cache: DecodeCache) -> jax.Array:
+    return jnp.take_along_axis(
+        cache.timestamps, jnp.clip(cache.lengths - 1, 0, None)[:, None], axis=1
+    )[:, 0]
+
+
+def sample_generate(
+    model: GenerativeRecommender,
+    params,
+    seq: SequenceBatch,
+    candidates: jax.Array,  # [X, D] normalized catalog embeddings
+    candidate_ids: jax.Array,  # [X]
+    steps: int,
+    max_item_id: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+) -> jax.Array:
+    """Stochastic autoregressive generation. Returns [B, steps] ids.
+
+    MIPS scores over the (history-filtered) catalog are treated as logits:
+    optional top-k truncation, optional nucleus (top-p) truncation, then a
+    categorical draw at `temperature`. temperature -> 0 recovers greedy.
+    The serving-side counterpart of greedy_generate; the reference exposes
+    only deterministic top-k retrieval (models/retrieval.py:248-275).
+    """
+    encoded, cache = prefill(model, params, seq)
+    query = get_current_embeddings(cache.lengths, encoded)
+    generated = []
+    invalid = seq.past_ids
+    x = candidates.shape[0]
+    for step in range(steps):
+        scores = masked_mips_scores(
+            query, candidates, candidate_ids,
+            invalid_ids=invalid, max_item_id=max_item_id,
+        )  # [B, X]; invalid at -1e30
+        logits = scores / max(temperature, 1e-6)
+        if top_k and top_k < x:
+            kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p and 0.0 < top_p < 1.0:
+            sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # smallest prefix with mass >= top_p stays (shifted keep mask)
+            keep = jnp.concatenate(
+                [jnp.ones_like(cum[:, :1], bool), cum[:, :-1] < top_p], axis=-1
+            )
+            cutoff = jnp.min(
+                jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+            )
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+        rng, sub = jax.random.split(rng)
+        idx = jax.random.categorical(sub, logits, axis=-1)  # [B]
+        next_ids = jnp.take(candidate_ids, idx)
+        generated.append(next_ids)
+        invalid = scatter_at_lengths(invalid, cache.lengths, next_ids)
+        query, cache = decode_step(
+            model, params, cache, next_ids, _last_timestamps(cache)
+        )
+    return jnp.stack(generated, axis=1)
+
+
+def beam_generate(
+    model: GenerativeRecommender,
+    params,
+    seq: SequenceBatch,
+    candidates: jax.Array,  # [X, D] normalized catalog embeddings
+    candidate_ids: jax.Array,  # [X]
+    steps: int,
+    max_item_id: int,
+    num_beams: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam search over item sequences. Returns (ids [B, steps], score [B]).
+
+    Beam score = sum of per-step log-softmax over the filtered catalog.
+    With num_beams=1 this reduces to greedy_generate (log-softmax is a
+    monotone transform of the scores greedy argmaxes over).
+    """
+    b = seq.past_lengths.shape[0]
+    w = num_beams
+    x = candidates.shape[0]
+    encoded, cache = prefill(model, params, seq)
+    query = get_current_embeddings(cache.lengths, encoded)  # [B, D]
+
+    # ---- step 0: expand the single context into W beams
+    scores0 = masked_mips_scores(
+        query, candidates, candidate_ids,
+        invalid_ids=seq.past_ids, max_item_id=max_item_id,
+    )
+    logp0 = jax.nn.log_softmax(scores0, axis=-1)
+    beam_logp, first_idx = jax.lax.top_k(logp0, w)  # [B, W]
+    first_ids = jnp.take(candidate_ids, first_idx)  # [B, W]
+
+    def tile(a: jax.Array, axis: int) -> jax.Array:
+        """[.., B, ..] -> [.., B*W, ..] repeating each row W times."""
+        return jnp.repeat(a, w, axis=axis)
+
+    cache = DecodeCache(
+        k=tile(cache.k, 1), v=tile(cache.v, 1),
+        lengths=tile(cache.lengths, 0), timestamps=tile(cache.timestamps, 0),
+    )
+    invalid = tile(seq.past_ids, 0)  # [B*W, N]
+    flat_first = first_ids.reshape(-1)  # [B*W]
+    invalid = scatter_at_lengths(invalid, cache.lengths, flat_first)
+    generated = flat_first[:, None]  # [B*W, 1]
+    query, cache = decode_step(
+        model, params, cache, flat_first, _last_timestamps(cache)
+    )
+
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
+    for _ in range(1, steps):
+        scores = masked_mips_scores(
+            query, candidates, candidate_ids,
+            invalid_ids=invalid, max_item_id=max_item_id,
+        )  # [B*W, X]
+        logp = jax.nn.log_softmax(scores, axis=-1)
+        total = beam_logp.reshape(-1, 1) + logp  # [B*W, X]
+        total = total.reshape(b, w * x)
+        beam_logp, flat_idx = jax.lax.top_k(total, w)  # [B, W]
+        parent = flat_idx // x  # [B, W] beam index within row
+        item_idx = flat_idx % x
+        next_ids = jnp.take(candidate_ids, item_idx)  # [B, W]
+
+        # reorder all per-beam state by the surviving beams' parents
+        sel = (rows * w + parent).reshape(-1)  # [B*W] flat parent rows
+        cache = DecodeCache(
+            k=jnp.take(cache.k, sel, axis=1),
+            v=jnp.take(cache.v, sel, axis=1),
+            lengths=jnp.take(cache.lengths, sel, axis=0),
+            timestamps=jnp.take(cache.timestamps, sel, axis=0),
+        )
+        invalid = jnp.take(invalid, sel, axis=0)
+        generated = jnp.take(generated, sel, axis=0)
+
+        flat_next = next_ids.reshape(-1)
+        invalid = scatter_at_lengths(invalid, cache.lengths, flat_next)
+        generated = jnp.concatenate([generated, flat_next[:, None]], axis=1)
+        query, cache = decode_step(
+            model, params, cache, flat_next, _last_timestamps(cache)
+        )
+
+    # best beam is index 0 (top_k sorts descending)
+    out = generated.reshape(b, w, -1)[:, 0, :]
+    return out, beam_logp[:, 0]

@@ -22,19 +22,14 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_item_id"))
-def mips_top_k(
+def masked_mips_scores(
     query_embeddings: jax.Array,  # [B, D]
     item_embeddings: jax.Array,  # [X, D]
     item_ids: jax.Array,  # [X] int (catalog ids, all > 0)
-    k: int,
     invalid_ids: Optional[jax.Array] = None,  # [B, N0] ids to exclude (0 = none)
     max_item_id: Optional[int] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Top-k by inner product, excluding each row's invalid ids.
-
-    Returns (top_k_ids [B, k], top_k_scores [B, k]), sorted descending.
-    """
+) -> jax.Array:
+    """[B, X] inner-product scores with each row's invalid ids at NEG_INF."""
     scores = jnp.einsum(
         "bd,xd->bx", query_embeddings, item_embeddings,
         preferred_element_type=jnp.float32,
@@ -55,6 +50,25 @@ def mips_top_k(
             invalid_in_id_space, item_ids[None, :].astype(jnp.int32), axis=1
         )
         scores = jnp.where(is_invalid, NEG_INF, scores)
+    return scores
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_item_id"))
+def mips_top_k(
+    query_embeddings: jax.Array,  # [B, D]
+    item_embeddings: jax.Array,  # [X, D]
+    item_ids: jax.Array,  # [X] int (catalog ids, all > 0)
+    k: int,
+    invalid_ids: Optional[jax.Array] = None,  # [B, N0] ids to exclude (0 = none)
+    max_item_id: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k by inner product, excluding each row's invalid ids.
+
+    Returns (top_k_ids [B, k], top_k_scores [B, k]), sorted descending.
+    """
+    scores = masked_mips_scores(
+        query_embeddings, item_embeddings, item_ids, invalid_ids, max_item_id
+    )
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_ids = jnp.take(item_ids, top_idx, axis=0)
     return top_ids, top_scores
