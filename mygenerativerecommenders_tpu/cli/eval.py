@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import sys
 
-from mygenerativerecommenders_tpu.cli.train import parse_args
+from mygenerativerecommenders_tpu.cli.train import maybe_init_distributed, parse_args
 from mygenerativerecommenders_tpu.train.driver import Trainer
 from mygenerativerecommenders_tpu.train.loggers import RankedLogger
 
@@ -15,6 +15,7 @@ def main(argv: list[str] | None = None):
     cfg = parse_args(argv if argv is not None else sys.argv[1:])
     if not cfg.trainer.ckpt_path:
         raise ValueError("trainer.ckpt_path=<dir> is required for eval")
+    maybe_init_distributed(cfg)
     trainer = Trainer(cfg)
     results = trainer.test(cfg.trainer.ckpt_path)
     log.info(f"test: {results}")

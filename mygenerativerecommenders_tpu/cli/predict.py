@@ -8,7 +8,7 @@ import sys
 
 import pandas as pd
 
-from mygenerativerecommenders_tpu.cli.train import parse_args
+from mygenerativerecommenders_tpu.cli.train import maybe_init_distributed, parse_args
 from mygenerativerecommenders_tpu.train.driver import Trainer
 from mygenerativerecommenders_tpu.train.loggers import RankedLogger
 
@@ -17,6 +17,7 @@ log = RankedLogger(__name__)
 
 def main(argv: list[str] | None = None):
     cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    maybe_init_distributed(cfg)
     trainer = Trainer(cfg)
     if cfg.trainer.ckpt_path:
         trainer.params = trainer.ckpt.restore(

@@ -35,8 +35,23 @@ def parse_args(argv: list[str]):
     return cfg
 
 
+def maybe_init_distributed(cfg) -> None:
+    """Multi-host startup: one jax.distributed.initialize() per host
+    BEFORE first backend use (coordinator/process env auto-discovery).
+    The reference delegates this rank bootstrap to Lightning DDP
+    (configs/trainer/ddp.yaml); here it is an explicit trainer flag."""
+    if cfg.trainer.distributed:
+        import jax
+
+        try:
+            jax.distributed.initialize()
+        except RuntimeError as e:  # already initialized (repeated main())
+            log.info(f"jax.distributed.initialize skipped: {e}")
+
+
 def main(argv: list[str] | None = None) -> float:
     cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    maybe_init_distributed(cfg)
     log.info(f"config: {json.dumps(to_dict(cfg), default=str)}")
     trainer = Trainer(cfg)
     results = trainer.fit()

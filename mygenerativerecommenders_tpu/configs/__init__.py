@@ -194,6 +194,13 @@ class TrainerConfig:
     tensorboard: bool = False  # also write TB event files (tensorboardX)
     # mesh: number of data-parallel shards; 0 -> all visible devices
     num_devices: int = 0
+    # multi-host: call jax.distributed.initialize() at startup (one
+    # process per host; env-based coordinator discovery) and shard the
+    # data pipeline by jax.process_index()
+    distributed: bool = False
+    # host->device pipeline depth: batches resident on device ahead of
+    # the step consuming them (2 = classic double buffering; 0/1 = off)
+    prefetch: int = 2
 
 
 @dataclass

@@ -182,6 +182,12 @@ class BatchLoader:
 
     Pads the final partial batch to a full batch (sample_weight 0 for pad
     rows) so every step hits the same compiled XLA program.
+
+    Multi-host: pass (process_index, process_count) to shard the example
+    stream — every process computes the SAME permutation (seed+epoch, so
+    no cross-host coordination) and takes its strided slice of it. Each
+    process then feeds its local devices only; the per-process batch_size
+    stays the global batch divided by process_count (caller's choice).
     """
 
     def __init__(
@@ -191,16 +197,27 @@ class BatchLoader:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def _local_count(self) -> int:
         n = len(self.dataset)
+        # strided shard sizes differ by <=1 across processes; use the max
+        # so every process runs the SAME number of (padded) batches —
+        # collectives inside the step would deadlock otherwise
+        return (n + self.process_count - 1) // self.process_count
+
+    def __len__(self) -> int:
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -211,6 +228,13 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
+            short = self._local_count() - len(order)
+            if short > 0:  # equal batch counts across processes; -1 rows
+                order = np.concatenate(  # get sample_weight 0 below
+                    [order, np.full(short, -1, dtype=order.dtype)]
+                )
         self.epoch += 1
         bs = self.batch_size
         num_batches = len(self)
@@ -218,10 +242,10 @@ class BatchLoader:
         for b in range(num_batches):
             idx = order[b * bs : (b + 1) * bs]
             pad = bs - len(idx)
-            weight = np.ones(bs, dtype=np.float32)
             if pad > 0:
-                idx = np.concatenate([idx, np.zeros(pad, dtype=idx.dtype)])
-                weight[bs - pad :] = 0.0
+                idx = np.concatenate([idx, np.full(pad, -1, dtype=idx.dtype)])
+            weight = (idx >= 0).astype(np.float32)
+            idx = np.maximum(idx, 0)
             batch = {
                 "lengths": np.maximum(ds.lengths[idx], 1),
                 "ids": ds.ids[idx],
@@ -297,7 +321,13 @@ class RecoData:
             )
         return self._splits[split]
 
-    def loader(self, split: str, batch_size: Optional[int] = None) -> BatchLoader:
+    def loader(
+        self,
+        split: str,
+        batch_size: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
+    ) -> BatchLoader:
         bs = batch_size or (
             self.cfg.batch_size if split == "train" else self.cfg.eval_batch_size
         )
@@ -306,4 +336,6 @@ class RecoData:
             batch_size=bs or self.cfg.batch_size,
             shuffle=(split == "train"),
             seed=self._seed,
+            process_index=process_index,
+            process_count=process_count,
         )

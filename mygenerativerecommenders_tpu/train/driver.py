@@ -202,7 +202,69 @@ class Trainer:
         return batch
 
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        if jax.process_count() > 1:
+            # each process holds its own shard of the global batch; stitch
+            # the process-local arrays into global arrays over the mesh
+            return {
+                k: jax.make_array_from_process_local_data(self.batch_sharding, v)
+                for k, v in batch.items()
+            }
         return jax.device_put(batch, self.batch_sharding)
+
+    def _batches(self, loader: BatchLoader, limit: int):
+        """Yield (host_batch, device_batch) with the H2D transfer of the
+        next `prefetch` batches issued before the current one is consumed
+        (double buffering; Lightning's DataLoader prefetch_factor analog)."""
+        depth = max(int(self.cfg.trainer.prefetch), 1)
+        from collections import deque
+
+        queue = deque()
+        it = iter(loader)
+        for i, batch in enumerate(it):
+            if i >= limit:
+                break
+            queue.append((batch, self._put(batch)))
+            if len(queue) >= depth:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()
+
+    def _loader(self, split: str) -> BatchLoader:
+        """Split loader sharded by process (multi-host data parallelism)."""
+        return self.data.loader(
+            split,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+
+    def _local_rows(self, arr: jax.Array) -> np.ndarray:
+        """This process's rows of a batch-sharded step output. Single
+        process: the whole array. Multi-host: concatenated addressable
+        shards (rows align with the process-local host batch)."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    def _gather_rows(self, arr: np.ndarray) -> np.ndarray:
+        """Concatenate per-process eval rows across hosts (the torchmetrics
+        dist_reduce_fx="cat" analog, metrics/retrieval.py:33-34). Row counts
+        may differ by one batch across processes, so pad to the max count
+        before the fixed-shape all-gather, then drop the padding."""
+        if jax.process_count() == 1:
+            return arr
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.asarray([arr.shape[0]], dtype=np.int64)
+        ).reshape(-1)
+        max_count = int(counts.max())
+        padded = np.zeros((max_count,) + arr.shape[1:], dtype=arr.dtype)
+        padded[: arr.shape[0]] = arr
+        gathered = multihost_utils.process_allgather(padded)  # [P, max, ...]
+        return np.concatenate(
+            [gathered[p, : int(counts[p])] for p in range(len(counts))], axis=0
+        )
 
     # ------------------------------------------------------------------
     def train_epoch(self, loader: BatchLoader) -> float:
@@ -219,16 +281,14 @@ class Trainer:
         start = time.time()
         examples = 0
         profile_dir = os.path.join(self.out_dir, "profile")
-        for i, batch in enumerate(loader):
-            if i >= limit:
-                break
+        for i, (batch, dev_batch) in enumerate(self._batches(loader, limit)):
             # jax.profiler trace of steps 2-4 of epoch 0 (the reference's
             # debug=profiler Lightning profile, configs/debug/profiler.yaml)
             if t_cfg.profiler and self.epoch == 0 and i == 2:
                 jax.profiler.start_trace(profile_dir)
             self.rng, step_rng = jax.random.split(self.rng)
             out = self.train_step(
-                self.params, self.opt_state, self._put(batch), step_rng,
+                self.params, self.opt_state, dev_batch, step_rng,
                 self.lr1, self.lr2,
             )
             self.params, self.opt_state = out.params, out.opt_state
@@ -268,30 +328,28 @@ class Trainer:
             from mygenerativerecommenders_tpu.models.metrics import multiclass_metrics
 
             all_probs, all_targets = [], []
-            for i, batch in enumerate(loader):
-                if i >= limit:
-                    break
-                probs = self.eval_step(self.params, self._put(batch))
+            for batch, dev_batch in self._batches(loader, limit):
+                probs = self.eval_step(self.params, dev_batch)
                 valid = batch["sample_weight"] > 0
-                all_probs.append(np.asarray(probs)[valid])
+                all_probs.append(self._local_rows(probs)[valid])
                 all_targets.append(batch["target_rating"][valid])
             results = multiclass_metrics(
-                np.concatenate(all_probs, axis=0),
-                np.concatenate(all_targets, axis=0),
+                self._gather_rows(np.concatenate(all_probs, axis=0)),
+                self._gather_rows(np.concatenate(all_targets, axis=0)),
                 num_classes=self.cfg.model.preprocessor.num_ratings,
             )
         else:
             candidates = self.candidate_fn(self.params)
             all_topk, all_targets = [], []
-            for i, batch in enumerate(loader):
-                if i >= limit:
-                    break
-                top_ids, _ = self.eval_step(self.params, self._put(batch), candidates)
+            for batch, dev_batch in self._batches(loader, limit):
+                top_ids, _ = self.eval_step(self.params, dev_batch, candidates)
                 valid = batch["sample_weight"] > 0
-                all_topk.append(np.asarray(top_ids)[valid])
+                all_topk.append(self._local_rows(top_ids)[valid])
                 all_targets.append(batch["target_id"][valid])
-            top_k_ids = np.concatenate(all_topk, axis=0)
-            target_ids = np.concatenate(all_targets, axis=0)[:, None]
+            top_k_ids = self._gather_rows(np.concatenate(all_topk, axis=0))
+            target_ids = self._gather_rows(np.concatenate(all_targets, axis=0))[
+                :, None
+            ]
             results = retrieval_metrics(
                 top_k_ids, target_ids, self.cfg.model.metrics.at_k_list
             )
@@ -306,8 +364,8 @@ class Trainer:
     def fit(self) -> Dict[str, float]:
         cfg, t = self.cfg, self.cfg.trainer
         monitor_key = t.monitor.split("/", 1)[1] if "/" in t.monitor else t.monitor
-        train_loader = self.data.loader("train")
-        val_loader = self.data.loader("val")
+        train_loader = self._loader("train")
+        val_loader = self._loader("val")
         if t.ckpt_path:
             self.restore(t.ckpt_path)
         last_results: Dict[str, float] = {}
@@ -351,19 +409,19 @@ class Trainer:
                 str(path), {"params": self.params, "opt_state": self.opt_state}
             )["params"]
             log.info(f"loaded checkpoint {path}")
-        return self.eval_epoch(self.data.loader("test"), "test")
+        return self.eval_epoch(self._loader("test"), "test")
 
     def predict(self) -> Dict[str, list]:
         if self.task != "retrieval":
             raise ValueError("predict() produces top-k lists; retrieval task only")
         candidates = self.candidate_fn(self.params)
-        loader = self.data.loader("test")
+        loader = self._loader("test")
         top_ids_all, top_scores_all = [], []
-        for batch in loader:
-            ids, scores = self.eval_step(self.params, self._put(batch), candidates)
+        for batch, dev_batch in self._batches(loader, len(loader)):
+            ids, scores = self.eval_step(self.params, dev_batch, candidates)
             valid = batch["sample_weight"] > 0
-            top_ids_all.extend(np.asarray(ids)[valid].tolist())
-            top_scores_all.extend(np.asarray(scores)[valid].tolist())
+            top_ids_all.extend(self._local_rows(ids)[valid].tolist())
+            top_scores_all.extend(self._local_rows(scores)[valid].tolist())
         return {"top_k_ids": top_ids_all, "top_k_scores": top_scores_all}
 
     def close(self) -> None:
