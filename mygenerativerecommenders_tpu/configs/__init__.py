@@ -95,6 +95,12 @@ class LossConfig:
     kind: str = "sampled_softmax"  # sampled_softmax | bce | bce_ratings | ce_rating
     num_to_sample: int = 128
     temperature: float = 0.05
+    # Dense-catalog evaluation of the sampled-softmax negatives (local
+    # sampler only): one q@catalog^T MXU matmul + a Kronecker one-hot
+    # multiplicity matrix replace the per-sample [B,T,R,D] gather/scatter
+    # (the step's dominant cost). Mathematically identical loss/grads —
+    # see ops/dense_negatives.py. auto -> on when applicable.
+    dense_catalog_negatives: str = "auto"  # auto | true | false
 
 
 @dataclass

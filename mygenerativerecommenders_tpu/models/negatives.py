@@ -81,6 +81,19 @@ class LocalNegativesSampler(NegativesSampler):
         offsets = jax.random.randint(rng, shape, 0, catalog_embeddings.shape[0])
         return offsets, jnp.take(catalog_embeddings, offsets, axis=0)
 
+    def offsets_only(
+        self,
+        rng: jax.Array,
+        positive_ids: jax.Array,
+        num_to_sample: int,
+        num_catalog: int,
+    ) -> jax.Array:
+        """Same draw as sample_offsets (identical RNG stream) with NO
+        embedding gather — for the dense-catalog loss path, which scores
+        against the whole catalog instead of gathered rows."""
+        shape = positive_ids.shape + (num_to_sample,)
+        return jax.random.randint(rng, shape, 0, num_catalog)
+
 
 @dataclasses.dataclass(frozen=True)
 class InBatchNegativesSampler(NegativesSampler):

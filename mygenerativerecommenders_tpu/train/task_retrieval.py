@@ -77,6 +77,20 @@ def make_loss_fn(
     # ~80s/array over the axon TPU tunnel (measured; see PARITY.md).
     catalog = np.asarray(all_item_ids, dtype=np.int32)
     max_out = cfg.model.gr_output_length + 1
+    # dense-catalog negatives: valid exactly when the negative logits are
+    # plain dot products against normalized catalog rows
+    dense_neg = str(loss_cfg.dense_catalog_negatives).lower()
+    use_dense_neg = (
+        loss_cfg.kind == "sampled_softmax"
+        and cfg.model.sampler.kind == "local"
+        and cfg.model.similarity.kind == "dot_product"
+        and dense_neg in ("auto", "true", "1", "yes")
+    )
+    if dense_neg in ("true", "1", "yes") and not use_dense_neg:
+        raise ValueError(
+            "loss.dense_catalog_negatives=true requires sampled_softmax + "
+            "local sampler + dot_product similarity"
+        )
     # id -> catalog offset (-1 for ids outside the catalog, e.g. padding);
     # lets the accidental-hit mask compare offsets instead of gathering
     # [B, T, R] ids (negatives.py sample_offsets docstring)
@@ -148,6 +162,55 @@ def make_loss_fn(
             return bce_loss(pos_logits, neg_logits, hits[..., 0], weights)
         raise ValueError(f"Unknown retrieval loss {loss_cfg.kind}")
 
+    def loss_fn_dense(
+        params: Any, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> jax.Array:
+        """Same sampled-softmax loss via the dense-catalog negative path
+        (ops/dense_negatives.py): no per-sample gather/scatter — the step's
+        dominant cost on TPU. RNG stream and loss value match loss_fn."""
+        from mygenerativerecommenders_tpu.ops.dense_negatives import (
+            sampled_softmax_dense_neg_lse,
+        )
+
+        drop_rng, neg_rng = jax.random.split(rng)
+        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
+        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+        seq = seq._replace(past_ids=past_ids)
+
+        def lookup(ids):
+            return model.apply(params, ids, method=model.item_embeddings)
+
+        input_embeddings = lookup(past_ids)
+        seq = seq._replace(past_embeddings=input_embeddings)
+        encoded, _ = model.apply(
+            params, seq, deterministic=False, rngs={"dropout": drop_rng}
+        )
+
+        outputs = encoded[:, :-1, :]
+        sup_ids = past_ids[:, 1:]
+        sup_emb = input_embeddings[:, 1:, :]
+        weights = (sup_ids != 0).astype(jnp.float32)
+        if "sample_weight" in batch:
+            weights = weights * batch["sample_weight"][:, None]
+
+        norm_catalog = sampler.normalize_embeddings(lookup(catalog))
+        neg_offsets = sampler.offsets_only(
+            neg_rng, sup_ids, loss_cfg.num_to_sample, norm_catalog.shape[0]
+        )
+        sup_offsets = jnp.take(id_to_offset, jnp.clip(sup_ids, 0, None), axis=0)
+
+        t = loss_cfg.temperature
+        pos_emb = sampler.normalize_embeddings(sup_emb)
+        pos_logits = (outputs * pos_emb).sum(-1) / t
+        neg_lse = sampled_softmax_dense_neg_lse(
+            outputs, norm_catalog, neg_offsets, sup_offsets, t
+        )
+        per_pos = jnp.logaddexp(pos_logits, neg_lse) - pos_logits
+        w = weights.astype(per_pos.dtype)
+        return (per_pos * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+    if use_dense_neg:
+        return loss_fn_dense
     return loss_fn
 
 

@@ -1,0 +1,88 @@
+"""Dense-catalog negative path vs the per-sample reference path.
+
+ops/dense_negatives.py re-expresses the sampled-softmax negative term
+through the full catalog (count-weighted lse). Same RNG stream, same math
+-> loss and every gradient must agree to float tolerance.
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mygenerativerecommenders_tpu.configs import Config, resolve
+from mygenerativerecommenders_tpu.models.model import build_model
+from mygenerativerecommenders_tpu.ops.dense_negatives import count_offsets
+from mygenerativerecommenders_tpu.train.task_retrieval import make_loss_fn
+from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+
+def test_count_offsets_exact(rng):
+    x = 300
+    offsets = jnp.asarray(rng.integers(0, x, size=(4, 7, 64)).astype(np.int32))
+    count = np.asarray(count_offsets(offsets, x), dtype=np.float64)
+    expected = np.zeros((4, 7, x))
+    o = np.asarray(offsets)
+    for b in range(4):
+        for t in range(7):
+            np.add.at(expected[b, t], o[b, t], 1.0)
+    np.testing.assert_array_equal(count, expected)
+
+
+def _make_batch(rng, b, l, num_items):
+    lengths = rng.integers(3, l, size=b).astype(np.int32)
+    ids = np.zeros((b, l), dtype=np.int32)
+    ts = np.zeros((b, l), dtype=np.int32)
+    for i, n in enumerate(lengths):
+        ids[i, :n] = rng.integers(1, num_items + 1, size=n)
+        ts[i, :n] = np.sort(rng.integers(100, 10**5, size=n))
+    return {
+        "lengths": lengths, "ids": ids,
+        "ratings": np.ones((b, l), dtype=np.int32), "timestamps": ts,
+        "target_id": rng.integers(1, num_items + 1, size=b).astype(np.int32),
+        "target_rating": np.ones(b, dtype=np.int32),
+        "target_timestamp": (ts.max(axis=1) + 10).astype(np.int32),
+        "sample_weight": np.ones(b, dtype=np.float32),
+    }
+
+
+def test_dense_negatives_matches_per_sample_path(rng):
+    num_items = 260
+    cfg = Config()
+    cfg.data.max_sequence_length = 12
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.use_pallas = "false"
+    cfg.model.loss.num_to_sample = 32
+    resolve(cfg, num_items)
+    model = build_model(cfg)
+    all_item_ids = np.arange(1, num_items + 1, dtype=np.int32)
+
+    batch = _make_batch(rng, 4, 12, num_items)
+    seq, _, _ = seq_features_from_batch(batch, cfg.model.gr_output_length + 1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, seq,
+        method=model.init_all,
+    )
+
+    cfg_ref = copy.deepcopy(cfg)
+    cfg_ref.model.loss.dense_catalog_negatives = "false"
+    cfg_dense = copy.deepcopy(cfg)
+    cfg_dense.model.loss.dense_catalog_negatives = "true"
+    loss_ref = make_loss_fn(model, cfg_ref, all_item_ids)
+    loss_dense = make_loss_fn(model, cfg_dense, all_item_ids)
+
+    step_rng = jax.random.PRNGKey(3)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    l_ref, g_ref = jax.value_and_grad(loss_ref)(params, dev_batch, step_rng)
+    l_dense, g_dense = jax.value_and_grad(loss_dense)(params, dev_batch, step_rng)
+
+    np.testing.assert_allclose(float(l_ref), float(l_dense), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_dense = jax.tree.leaves(g_dense)
+    assert len(flat_ref) == len(flat_dense)
+    for (path, a), bb in zip(flat_ref, flat_dense):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
