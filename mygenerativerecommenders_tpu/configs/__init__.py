@@ -198,6 +198,10 @@ class TrainerConfig:
     detect_anomaly: bool = False  # jax.debug_nans
     profiler: bool = False
     tensorboard: bool = False  # also write TB event files (tensorboardX)
+    # MLflow file-store tracking dir ("" = off): writes the mlruns/ layout
+    # the real MLflow UI reads, with no mlflow dependency
+    mlflow_dir: str = ""
+
     # mesh: number of data-parallel shards; 0 -> all visible devices
     num_devices: int = 0
     # multi-host: call jax.distributed.initialize() at startup (one

@@ -158,7 +158,25 @@ class Trainer:
         ) if cfg.scheduler2.kind == "plateau" and cfg.optimizer2.enabled else None
         self.early_stop = EarlyStopping(mode=t.mode, patience=t.early_stop_patience)
         self.out_dir = os.path.join(t.output_dir, cfg.experiment)
-        self.writer = MetricsWriter(self.out_dir, enable_tensorboard=t.tensorboard)
+        self.writer = MetricsWriter(
+            self.out_dir,
+            enable_tensorboard=t.tensorboard,
+            mlflow_dir=t.mlflow_dir,
+            experiment=cfg.experiment,
+        )
+        if self.writer.mlflow is not None:
+            flat = {}
+
+            def _flatten(prefix, d):
+                for k, v in d.items():
+                    key = f"{prefix}.{k}" if prefix else k
+                    if isinstance(v, dict):
+                        _flatten(key, v)
+                    else:
+                        flat[key] = v
+
+            _flatten("", to_dict(cfg))
+            self.writer.mlflow.log_params(flat)
         self.ckpt = CheckpointManager(
             os.path.join(self.out_dir, "checkpoints"), monitor=t.monitor, mode=t.mode
         )

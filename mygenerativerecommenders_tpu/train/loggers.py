@@ -47,16 +47,75 @@ class RankedLogger(logging.LoggerAdapter):
         super().log(level, msg, *args, **kwargs)
 
 
+class MlflowFileWriter:
+    """MLflow file-store-compatible tracking (the reference's optional
+    MLflow channel, configs/logger/mlflow.yaml) with zero dependencies.
+
+    Writes the `mlruns/<exp_id>/<run_id>/` layout the real MLflow UI and
+    client read: meta.yaml per experiment/run, one file per param, and
+    per-metric append-only files of "<timestamp_ms> <value> <step>" lines.
+    """
+
+    def __init__(self, tracking_dir: str, experiment: str, run_name: str):
+        import uuid
+
+        self.exp_dir = os.path.join(tracking_dir, "0")
+        self.run_id = uuid.uuid4().hex
+        self.run_dir = os.path.join(self.exp_dir, self.run_id)
+        for sub in ("metrics", "params", "tags"):
+            os.makedirs(os.path.join(self.run_dir, sub), exist_ok=True)
+        if not os.path.exists(os.path.join(self.exp_dir, "meta.yaml")):
+            with open(os.path.join(self.exp_dir, "meta.yaml"), "w") as f:
+                f.write(
+                    f"artifact_location: {self.exp_dir}\n"
+                    f"experiment_id: '0'\nlifecycle_stage: active\n"
+                    f"name: {experiment}\n"
+                )
+        start = int(time.time() * 1000)
+        with open(os.path.join(self.run_dir, "meta.yaml"), "w") as f:
+            f.write(
+                f"artifact_uri: {os.path.join(self.run_dir, 'artifacts')}\n"
+                f"experiment_id: '0'\nlifecycle_stage: active\n"
+                f"run_id: {self.run_id}\nrun_name: {run_name}\n"
+                f"run_uuid: {self.run_id}\nstart_time: {start}\n"
+                f"status: 1\nuser_id: {os.environ.get('USER', 'unknown')}\n"
+            )
+        with open(os.path.join(self.run_dir, "tags", "mlflow.runName"), "w") as f:
+            f.write(run_name)
+
+    def log_params(self, params: Dict[str, object]) -> None:
+        for k, v in params.items():
+            safe = k.replace("/", ".")
+            with open(os.path.join(self.run_dir, "params", safe), "w") as f:
+                f.write(str(v))
+
+    def log_metrics(self, metrics: Dict[str, float], step: int) -> None:
+        ts = int(time.time() * 1000)
+        for k, v in metrics.items():
+            if not isinstance(v, (int, float)):
+                continue
+            safe = k.replace("/", ".")
+            with open(os.path.join(self.run_dir, "metrics", safe), "a") as f:
+                f.write(f"{ts} {v} {step}\n")
+
+
 class MetricsWriter:
     """Appends metric dicts to metrics.csv + metrics.jsonl under out_dir."""
 
-    def __init__(self, out_dir: str, enable_tensorboard: bool = False):
+    def __init__(
+        self,
+        out_dir: str,
+        enable_tensorboard: bool = False,
+        mlflow_dir: str = "",
+        experiment: str = "default",
+    ):
         self.out_dir = out_dir
         self.enabled = is_main_process()
         self._csv_path = os.path.join(out_dir, "metrics.csv")
         self._jsonl_path = os.path.join(out_dir, "metrics.jsonl")
         self._csv_fields: Optional[list] = None
         self._tb = None
+        self.mlflow: Optional[MlflowFileWriter] = None
         if self.enabled:
             os.makedirs(out_dir, exist_ok=True)
             if enable_tensorboard:
@@ -66,6 +125,10 @@ class MetricsWriter:
                     self._tb = SummaryWriter(os.path.join(out_dir, "tb"))
                 except ImportError:
                     self._tb = None
+            if mlflow_dir:
+                self.mlflow = MlflowFileWriter(
+                    mlflow_dir, experiment, run_name=os.path.basename(out_dir)
+                )
 
     def log(self, metrics: Dict[str, float], step: int, epoch: int) -> None:
         if not self.enabled:
@@ -85,6 +148,8 @@ class MetricsWriter:
             for k, v in metrics.items():
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(k, v, step)
+        if self.mlflow is not None:
+            self.mlflow.log_metrics(metrics, step)
 
     def close(self) -> None:
         if self._tb is not None:

@@ -197,3 +197,29 @@ def test_prefetch_pipeline_matches_sequential(smoke_cfg):
             np.testing.assert_array_equal(dev, want)
     finally:
         trainer.close()
+
+
+def test_mlflow_file_logger(smoke_cfg, tmp_path):
+    """MLflow file-store layout: params + append-only metric files."""
+    import copy
+    import os
+
+    cfg = copy.deepcopy(smoke_cfg)
+    cfg.trainer.fast_dev_run = True
+    cfg.trainer.mlflow_dir = str(tmp_path / "mlruns")
+    trainer = Trainer(cfg)
+    try:
+        trainer.fit()
+    finally:
+        trainer.close()
+    exp = tmp_path / "mlruns" / "0"
+    runs = [d for d in exp.iterdir() if d.is_dir()]
+    assert len(runs) == 1
+    run = runs[0]
+    assert (run / "meta.yaml").exists()
+    assert (run / "params" / "model.task").read_text() == "retrieval"
+    metric_files = list((run / "metrics").iterdir())
+    assert any(f.name == "val.ndcg@10" for f in metric_files)
+    line = (run / "metrics" / "train.loss").read_text().strip().splitlines()[0]
+    ts, val, step = line.split()
+    assert float(val) > 0 and int(step) >= 1
