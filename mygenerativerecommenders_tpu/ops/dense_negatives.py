@@ -37,11 +37,17 @@ import jax.numpy as jnp
 _LO = 128  # low-digit radix: one MXU lane tile
 
 
-def count_offsets(offsets: jax.Array, num_catalog: int) -> jax.Array:
+def count_offsets(
+    offsets: jax.Array, num_catalog: int, keep_pad: bool = False
+) -> jax.Array:
     """Multiplicity matrix count[..., x] = #{r : offsets[..., r] == x}.
 
     offsets: [..., R] int32 in [0, num_catalog).
     Returns [..., num_catalog] bfloat16 (exact: counts <= R <= 256).
+    keep_pad leaves the trailing dim at the Kronecker-natural
+    ceil(num_catalog/128)*128 — which IS the Pallas kernel's lane-padded
+    width, so the fused path avoids a slice + re-pad round trip (the
+    padded columns are all-zero: no offset maps there).
     """
     num_hi = (num_catalog + _LO - 1) // _LO
     hi = offsets // _LO  # [..., R]
@@ -52,6 +58,8 @@ def count_offsets(offsets: jax.Array, num_catalog: int) -> jax.Array:
         "...rh,...rl->...hl", h, low, preferred_element_type=jnp.bfloat16
     )
     count = count.reshape(count.shape[:-2] + (num_hi * _LO,))
+    if keep_pad:
+        return count
     return count[..., :num_catalog]
 
 
@@ -63,8 +71,38 @@ def sampled_softmax_dense_neg_lse(
     #                                (-1 when the positive is not in the
     #                                 catalog, e.g. padding)
     temperature: float,
+    use_pallas: bool = False,
 ) -> jax.Array:
-    """logsumexp of the R sampled negative logits, hits excluded ([...])."""
+    """logsumexp of the R sampled negative logits, hits excluded ([...]).
+
+    use_pallas routes through ops/pallas/dense_softmax.py, which keeps the
+    [BT, X] logits in VMEM in both directions (same math, TPU fast path).
+    """
+    if use_pallas:
+        from mygenerativerecommenders_tpu.ops.pallas.dense_softmax import (
+            fused_dense_neg_lse,
+        )
+
+        lead = query.shape[:-1]
+        r = neg_offsets.shape[-1]
+        count_padded = jax.lax.stop_gradient(
+            count_offsets(
+                neg_offsets.reshape(-1, r), norm_catalog.shape[0], keep_pad=True
+            )
+        )  # [BT, ceil(X/128)*128] bf16 — the kernel's exact layout
+        lse = fused_dense_neg_lse(
+            query.reshape(-1, query.shape[-1]),
+            norm_catalog,
+            count_padded,
+            positive_offsets.reshape(-1),
+            temperature,
+        )
+        return lse.reshape(lead)
+
+    count = jax.lax.stop_gradient(
+        count_offsets(neg_offsets, norm_catalog.shape[0])
+    ).astype(jnp.float32)
+
     al = (
         jnp.einsum(
             "...d,xd->...x", query, norm_catalog,
@@ -72,9 +110,6 @@ def sampled_softmax_dense_neg_lse(
         )
         / temperature
     )  # [..., X]
-    count = jax.lax.stop_gradient(
-        count_offsets(neg_offsets, norm_catalog.shape[0])
-    ).astype(jnp.float32)
     x_iota = jnp.arange(norm_catalog.shape[0], dtype=jnp.int32)
     not_hit = x_iota != positive_offsets[..., None].astype(jnp.int32)
     cmask = jnp.where(not_hit, count, 0.0)  # [..., X]
@@ -83,7 +118,11 @@ def sampled_softmax_dense_neg_lse(
     # is all-zero (every sample hit the positive) get -inf, which
     # logaddexp(pos, -inf) treats exactly like the reference's all--5e4 row
     neg_inf = jnp.float32(-jnp.inf)
-    m = jnp.max(jnp.where(cmask > 0, al, neg_inf), axis=-1)  # [...]
-    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    s = jnp.sum(cmask * jnp.exp(al - m_safe[..., None]), axis=-1)
+    # select BEFORE exponentiating: a masked logit above the surviving max
+    # would overflow exp and poison the sum with 0*inf = NaN (possible
+    # when embeddings are not L2-normalized)
+    al_live = jnp.where(cmask > 0, al, -1e30)
+    m = jnp.max(al_live, axis=-1)  # [...]
+    m_safe = jnp.where(m > -0.5e30, m, 0.0)
+    s = jnp.sum(cmask * jnp.exp(al_live - m_safe[..., None]), axis=-1)
     return jnp.where(s > 0, m_safe + jnp.log(jnp.maximum(s, 1e-30)), neg_inf)

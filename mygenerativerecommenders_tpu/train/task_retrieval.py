@@ -202,8 +202,11 @@ def make_loss_fn(
         t = loss_cfg.temperature
         pos_emb = sampler.normalize_embeddings(sup_emb)
         pos_logits = (outputs * pos_emb).sum(-1) / t
+        from mygenerativerecommenders_tpu.models.model import _resolve_use_pallas
+
         neg_lse = sampled_softmax_dense_neg_lse(
-            outputs, norm_catalog, neg_offsets, sup_offsets, t
+            outputs, norm_catalog, neg_offsets, sup_offsets, t,
+            use_pallas=_resolve_use_pallas(cfg.model.encoder.use_pallas),
         )
         per_pos = jnp.logaddexp(pos_logits, neg_lse) - pos_logits
         w = weights.astype(per_pos.dtype)

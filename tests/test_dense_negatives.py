@@ -86,3 +86,74 @@ def test_dense_negatives_matches_per_sample_path(rng):
             np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-6,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_pallas_dense_neg_lse_matches_jnp(rng):
+    """ops/pallas/dense_softmax.py vs the jnp dense path, value + grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.dense_negatives import (
+        sampled_softmax_dense_neg_lse,
+    )
+
+    bt, d, x, r, t = 70, 12, 150, 16, 0.07
+    q = jnp.asarray(rng.normal(size=(bt, d)).astype(np.float32))
+    cat = jnp.asarray(rng.normal(size=(x, d)).astype(np.float32))
+    cat = cat / np.linalg.norm(cat, axis=-1, keepdims=True)
+    offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
+    sup = jnp.asarray(
+        np.where(rng.random(bt) < 0.2, -1, rng.integers(0, x, size=bt)).astype(
+            np.int32
+        )
+    )
+    # force some accidental hits so the masking path is exercised
+    offs = offs.at[0, :3].set(sup[0])
+
+    def f_ref(q, cat):
+        lse = sampled_softmax_dense_neg_lse(q, cat, offs, sup, t, use_pallas=False)
+        return (jnp.where(jnp.isfinite(lse), lse, 0.0) ** 2).sum(), lse
+
+    def f_pal(q, cat):
+        lse = sampled_softmax_dense_neg_lse(q, cat, offs, sup, t, use_pallas=True)
+        return (jnp.where(jnp.isfinite(lse), lse, 0.0) ** 2).sum(), lse
+
+    (l_ref, lse_ref), g_ref = jax.value_and_grad(f_ref, argnums=(0, 1), has_aux=True)(
+        q, cat
+    )
+    with pltpu.force_tpu_interpret_mode():
+        (l_pal, lse_pal), g_pal = jax.value_and_grad(
+            f_pal, argnums=(0, 1), has_aux=True
+        )(q, cat)
+
+    np.testing.assert_allclose(np.asarray(lse_ref), np.asarray(lse_pal), rtol=1e-5)
+    np.testing.assert_allclose(float(l_ref), float(l_pal), rtol=1e-5)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_fused_pallas_all_hit_row(rng):
+    """A row whose every sample hits the positive -> -inf lse, zero grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.dense_negatives import (
+        sampled_softmax_dense_neg_lse,
+    )
+
+    bt, d, x, r = 4, 8, 40, 6
+    q = jnp.asarray(rng.normal(size=(bt, d)).astype(np.float32))
+    cat = jnp.asarray(rng.normal(size=(x, d)).astype(np.float32))
+    sup = jnp.asarray(np.array([7, -1, 3, 5], dtype=np.int32))
+    offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
+    offs = offs.at[0, :].set(7)  # row 0: all samples == positive
+
+    def f(q):
+        lse = sampled_softmax_dense_neg_lse(q, cat, offs, sup, 0.05, use_pallas=True)
+        pos = jnp.ones(bt)
+        return (jnp.logaddexp(pos, lse) - pos).sum(), lse
+
+    with pltpu.force_tpu_interpret_mode():
+        (loss, lse), g = jax.value_and_grad(f, has_aux=True)(q)
+    assert np.asarray(lse)[0] == -np.inf
+    assert np.isfinite(np.asarray(lse)[1:]).all()
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(g)).all()
