@@ -80,13 +80,26 @@ def make_loss_fn(
     # dense-catalog negatives: valid exactly when the negative logits are
     # plain dot products against normalized catalog rows
     dense_neg = str(loss_cfg.dense_catalog_negatives).lower()
-    use_dense_neg = (
+    applicable = (
         loss_cfg.kind == "sampled_softmax"
         and cfg.model.sampler.kind == "local"
         and cfg.model.similarity.kind == "dot_product"
-        and dense_neg in ("auto", "true", "1", "yes")
     )
-    if dense_neg in ("true", "1", "yes") and not use_dense_neg:
+    # auto additionally gates on the [B*T, X] count/logit footprint: the
+    # dense path trades the per-sample gather/scatter for whole-catalog
+    # matmuls, a big win at ml-1m scale (X~4k) but O(BT*X) memory — past
+    # ~4e8 elements (~0.8 GB bf16 count + transient logit tiles) the
+    # per-sample path wins. Explicit true overrides the gate.
+    bt_rows = cfg.data.batch_size * (
+        cfg.data.max_sequence_length + cfg.model.gr_output_length + 1
+    )
+    x_pad = ((len(all_item_ids) + 127) // 128) * 128
+    fits = bt_rows * x_pad <= 4e8
+    use_dense_neg = applicable and (
+        dense_neg in ("true", "1", "yes")
+        or (dense_neg == "auto" and fits)
+    )
+    if dense_neg in ("true", "1", "yes") and not applicable:
         raise ValueError(
             "loss.dense_catalog_negatives=true requires sampled_softmax + "
             "local sampler + dot_product similarity"

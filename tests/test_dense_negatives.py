@@ -157,3 +157,33 @@ def test_fused_pallas_all_hit_row(rng):
     assert np.isfinite(np.asarray(lse)[1:]).all()
     assert np.isfinite(float(loss))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_dense_auto_gate_large_catalog(rng):
+    """auto mode falls back to the per-sample path when [BT, X] is huge;
+    explicit true overrides the gate."""
+    from mygenerativerecommenders_tpu.train import task_retrieval
+
+    num_items = 300
+    cfg = Config()
+    cfg.data.max_sequence_length = 12
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.use_pallas = "false"
+    resolve(cfg, num_items)
+    model = build_model(cfg)
+    ids_small = np.arange(1, num_items + 1, dtype=np.int32)
+
+    fn_auto = task_retrieval.make_loss_fn(model, cfg, ids_small)
+    assert fn_auto.__name__ == "loss_fn_dense"  # small catalog: dense on
+
+    cfg_big = copy.deepcopy(cfg)
+    cfg_big.data.batch_size = 4096
+    cfg_big.data.max_sequence_length = 1024
+    ids_big = np.arange(1, 200_001, dtype=np.int32)
+    fn_big = task_retrieval.make_loss_fn(model, cfg_big, ids_big)
+    assert fn_big.__name__ == "loss_fn"  # auto gate: per-sample fallback
+
+    cfg_force = copy.deepcopy(cfg_big)
+    cfg_force.model.loss.dense_catalog_negatives = "true"
+    fn_force = task_retrieval.make_loss_fn(model, cfg_force, ids_big)
+    assert fn_force.__name__ == "loss_fn_dense"
