@@ -1,20 +1,27 @@
-"""Fused sampled-softmax negative term: Pallas TPU kernel.
+"""Fused sampled-softmax negative term: Pallas TPU kernels.
 
 Computes ops/dense_negatives.py's count-weighted logsumexp
 
     neg_lse[i] = log sum_x cmask[i,x] * exp(q[i]·cat[x] / tau)
     cmask[i,x] = count[i,x] * [x != positive_offset[i]]
 
-without ever writing the [BT, X] logit matrix to HBM: each row tile's
-logits live in VMEM for the one pass that needs them (matmul -> masked
-max -> exp-sum). The backward recomputes the tile's logits (one cheap
-MXU matmul) and reduces straight to dq and d(catalog) — two more MXU
-matmuls per tile — so the whole negative path never materializes a
-[BT, X] tensor in HBM in either direction.
+without ever writing the [BT, X] logit matrix to HBM: logits exist only
+as per-tile VMEM blocks. The catalog axis is TILED (flash-attention-style
+online max/sum carry), so the kernels hold only a [BQ, XB] logit block at
+a time and scale to catalogs far beyond VMEM (an untiled version OOMs
+scoped vmem at ml-20m's X=26744).
 
-XLA equivalent cost at the ml-1m recipe (BT=26880, X=3952): ~8 ms of
-bandwidth-bound elementwise passes over 425 MB logits; this kernel does
-~35 GFLOP of f32 MXU work + one 213 MB count read per direction.
+The backward recomputes each tile's logits (cheap MXU matmul) and reduces
+straight to dq and d(catalog). It is split into TWO kernels so each
+accumulator's grid visits are contiguous (a Pallas output block must be
+revisited consecutively to accumulate):
+
+  * dq kernel:   grid (bt, x) — dq[bt-tile] accumulates over inner x
+  * dcat kernel: grid (x, bt) — dcat[x-block] accumulates over inner bt
+
+XLA-equivalent cost at the ml-1m recipe (BT=26880, X=3952): ~8 ms of
+bandwidth-bound elementwise passes over 425 MB logits; these kernels do
+~46 GFLOP of f32 MXU work + count reads.
 """
 
 from __future__ import annotations
@@ -28,78 +35,130 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 _TINY = 1e-30
+_XB = 4096  # max catalog-axis tile (lanes); VMEM per tile ~ XB * 1.3 KB
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, *, inv_tau):
+def _tile_logits(q_ref, cat_ref, cnt_ref, sup_ref, j, xb, inv_tau):
+    """Shared per-tile prep: (masked-live logits, cmask) for x-block j."""
     q = q_ref[...].astype(jnp.float32)  # [BQ, D]
-    cat = cat_ref[...].astype(jnp.float32)  # [XP, D]
+    cat = cat_ref[...].astype(jnp.float32)  # [XB, D]
     al = (
         jax.lax.dot_general(
             q, cat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         * inv_tau
-    )  # [BQ, XP]
+    )  # [BQ, XB]
     cnt = cnt_ref[...].astype(jnp.float32)
     sup = sup_ref[0, :]  # [BQ] i32
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
-    cmask = jnp.where(x_iota == sup[:, None], 0.0, cnt)
+    x_global = j * xb + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
+    cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
     # select BEFORE exponentiating (masked logits above the surviving max
     # would overflow exp into 0*inf = NaN)
     al_live = jnp.where(cmask > 0, al, _NEG_INF)
-    m = jnp.max(al_live, axis=1)  # [BQ]
-    m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
-    s = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
-    m_ref[0, :] = m_safe
-    s_ref[0, :] = s
+    return al_live, cmask
 
 
-def _bwd_kernel(
-    q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref,
-    dq_ref, dcat_ref, *, inv_tau
+def _fwd_kernel(
+    q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, *, xb, inv_tau, single
 ):
-    i = pl.program_id(0)
+    j = 0 if single else pl.program_id(1)
+    al_live, cmask = _tile_logits(q_ref, cat_ref, cnt_ref, sup_ref, j, xb, inv_tau)
 
-    @pl.when(i == 0)
-    def _init():
-        dcat_ref[...] = jnp.zeros(dcat_ref.shape, dtype=dcat_ref.dtype)
+    m_blk = jnp.max(al_live, axis=1)  # [BQ] (raw; -1e30 if block all-dead)
+    if single:
+        # one x-block: no carry, no output reads (statically specialized)
+        m_safe = jnp.where(m_blk > 0.5 * _NEG_INF, m_blk, 0.0)
+        m_ref[0, :] = m_blk
+        s_ref[0, :] = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
+        return
+    m_prev = jnp.where(j == 0, jnp.full_like(m_blk, _NEG_INF), m_ref[0, :])
+    s_prev = jnp.where(j == 0, jnp.zeros_like(m_blk), s_ref[0, :])
 
-    q = q_ref[...].astype(jnp.float32)
-    cat = cat_ref[...].astype(jnp.float32)
-    al = (
-        jax.lax.dot_general(
-            q, cat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * inv_tau
-    )
-    cnt = cnt_ref[...].astype(jnp.float32)
-    sup = sup_ref[0, :]
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
-    cmask = jnp.where(x_iota == sup[:, None], 0.0, cnt)
+    m_new = jnp.maximum(m_prev, m_blk)
+    m_safe = jnp.where(m_new > 0.5 * _NEG_INF, m_new, 0.0)
+    s_blk = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
+    m_prev_safe = jnp.where(m_prev > 0.5 * _NEG_INF, m_prev, 0.0)
+    # rescale the carry to the new max; s_prev is 0 whenever m_prev was
+    # -inf, so the (arbitrary) scale there multiplies zero
+    s_new = s_prev * jnp.exp(m_prev_safe - m_safe) + s_blk
+
+    m_ref[0, :] = m_new
+    s_ref[0, :] = s_new
+
+
+def _dal_tile(
+    q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref, j, xb, inv_tau
+):
+    al_live, cmask = _tile_logits(q_ref, cat_ref, cnt_ref, sup_ref, j, xb, inv_tau)
     m_safe = m_ref[0, :]
     s = s_ref[0, :]
     gl = gl_ref[0, :]
     # d neg_lse / d al[x] = cmask * exp(al - m) / S; rows with S == 0 get
     # zero upstream gradient (logaddexp at -inf), so 0/tiny is safe
-    w = gl / jnp.maximum(s, _TINY)  # [BQ]
-    al_live = jnp.where(cmask > 0, al, _NEG_INF)
-    dal = cmask * jnp.exp(al_live - m_safe[:, None]) * w[:, None] * inv_tau
+    w = gl / jnp.maximum(s, _TINY)
+    return cmask * jnp.exp(al_live - m_safe[:, None]) * w[:, None] * inv_tau
+
+
+def _bwd_single_kernel(
+    q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref,
+    dq_ref, dcat_ref, *, xb, inv_tau
+):
+    """Single-x-block backward (xb == padded X): one kernel produces both
+    grads — dcat's block is constant over the 1-D bt grid, so its visits
+    are trivially contiguous and it can accumulate in place."""
+    i = pl.program_id(0)
+    dal = _dal_tile(
+        q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref, 0, xb, inv_tau
+    )
+    q = q_ref[...].astype(jnp.float32)
+    cat = cat_ref[...].astype(jnp.float32)
     dq_ref[...] = jax.lax.dot_general(
         dal, cat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dcat_ref[...] += jax.lax.dot_general(
+    contrib = jax.lax.dot_general(
         dal, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    dcat_ref[...] = jnp.where(i == 0, contrib, dcat_ref[...] + contrib)
+
+
+def _bwd_dq_kernel(
+    q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref, dq_ref, *, xb, inv_tau
+):
+    j = pl.program_id(1)
+    dal = _dal_tile(
+        q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref, j, xb, inv_tau
+    )
+    contrib = jax.lax.dot_general(
+        dal, cat_ref[...].astype(jnp.float32),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [BQ, D]
+    dq_ref[...] = jnp.where(j == 0, contrib, dq_ref[...] + contrib)
+
+
+def _bwd_dcat_kernel(
+    q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref, dcat_ref, *, xb, inv_tau
+):
+    j = pl.program_id(0)  # x-block (outer); bt tiles run on the inner dim
+    i = pl.program_id(1)
+    dal = _dal_tile(
+        q_ref, cat_ref, cnt_ref, sup_ref, m_ref, s_ref, gl_ref, j, xb, inv_tau
+    )
+    contrib = jax.lax.dot_general(
+        dal, q_ref[...].astype(jnp.float32),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [XB, D]
+    dcat_ref[...] = jnp.where(i == 0, contrib, dcat_ref[...] + contrib)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_dense_neg_lse(q2, norm_catalog, count, sup_off, temperature):
     """neg_lse [BT] for flattened queries q2 [BT, D] vs catalog [X, D].
 
-    count: [BT, X] multiplicity matrix (non-differentiable);
+    count: [BT, X or lane-padded X] multiplicity matrix (non-diff);
     sup_off: [BT] catalog offset of each row's positive (-1 = none).
     """
     m, s = _fused_fwd(q2, norm_catalog, count, sup_off, temperature)
@@ -107,8 +166,9 @@ def fused_dense_neg_lse(q2, norm_catalog, count, sup_off, temperature):
 
 
 def _lse_from_ms(m, s):
+    m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
     return jnp.where(
-        s > 0, m + jnp.log(jnp.maximum(s, _TINY)), jnp.float32(-jnp.inf)
+        s > 0, m_safe + jnp.log(jnp.maximum(s, _TINY)), jnp.float32(-jnp.inf)
     )
 
 
@@ -118,7 +178,12 @@ def _prep(q2, norm_catalog, count):
     bq = 128
     bt_pad = _round_up(bt, bq)
     d_pad = _round_up(d, 128)
+    # x tile: largest 128-multiple <= _XB that exactly divides the
+    # lane-padded width, so count (born at that width) is never re-padded
     x_pad = _round_up(x, 128)
+    n_lanes = x_pad // 128
+    div = max(dd for dd in range(1, n_lanes + 1) if n_lanes % dd == 0 and 128 * dd <= _XB)
+    xb = 128 * div
     assert count.shape[1] in (x, x_pad), count.shape
 
     def pad2(a, r, c):
@@ -127,40 +192,45 @@ def _prep(q2, norm_catalog, count):
     return (
         pad2(q2, bt_pad, d_pad),
         pad2(norm_catalog, x_pad, d_pad),
-        pad2(count, bt_pad, x_pad),  # no-op on the lane dim when the
-        # caller passes count at its Kronecker-natural x_pad width (bf16)
-        bt, d, x, bq, bt_pad, d_pad, x_pad,
+        pad2(count, bt_pad, x_pad),  # all-zero pad columns: never counted
+        bt, d, x, bq, xb, bt_pad, d_pad, x_pad,
     )
+
+
+def _sup_padded(sup_off, bt, bt_pad):
+    return jnp.pad(
+        sup_off.astype(jnp.int32), (0, bt_pad - bt), constant_values=-1
+    )[None, :]
 
 
 def _fused_fwd(q2, norm_catalog, count, sup_off, temperature):
-    qp, catp, cntp, bt, d, x, bq, bt_pad, d_pad, x_pad = _prep(
+    qp, catp, cntp, bt, d, x, bq, xb, bt_pad, d_pad, x_pad = _prep(
         q2, norm_catalog, count
     )
-    # padded rows: sup=-1, count rows are zero -> S=0 (ignored)
-    supp = jnp.pad(
-        sup_off.astype(jnp.int32), (0, bt_pad - bt), constant_values=-1
-    )[None, :]
-    grid = (bt_pad // bq,)
+    supp = _sup_padded(sup_off, bt, bt_pad)
+    grid = (bt_pad // bq, x_pad // xb)
     m, s = pl.pallas_call(
-        functools.partial(_fwd_kernel, inv_tau=1.0 / temperature),
+        functools.partial(
+            _fwd_kernel, xb=xb, inv_tau=1.0 / temperature,
+            single=(x_pad == xb),
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((x_pad, d_pad), lambda i: (0, 0)),
-            pl.BlockSpec((bq, x_pad), lambda i: (i, 0)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((xb, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((bq, xb), lambda i, j: (i, j)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
     )(qp, catp, cntp, supp)
     return m[0, :bt], s[0, :bt]
@@ -173,41 +243,88 @@ def _vjp_fwd(q2, norm_catalog, count, sup_off, temperature):
 
 def _vjp_bwd(temperature, residuals, gl):
     q2, norm_catalog, count, sup_off, m, s = residuals
-    qp, catp, cntp, bt, d, x, bq, bt_pad, d_pad, x_pad = _prep(
+    qp, catp, cntp, bt, d, x, bq, xb, bt_pad, d_pad, x_pad = _prep(
         q2, norm_catalog, count
     )
-    supp = jnp.pad(
-        sup_off.astype(jnp.int32), (0, bt_pad - bt), constant_values=-1
-    )[None, :]
+    supp = _sup_padded(sup_off, bt, bt_pad)
+    m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
     pad1 = lambda a: jnp.pad(a.astype(jnp.float32), (0, bt_pad - bt))[None, :]
     # rows with s == 0 have neg_lse = -inf; their upstream cotangent is 0
     # by logaddexp's gradient, but guard NaN-propagation anyway
     gl_clean = jnp.where(s > 0, gl, 0.0)
-    grid = (bt_pad // bq,)
-    dq, dcat = pl.pallas_call(
-        functools.partial(_bwd_kernel, inv_tau=1.0 / temperature),
-        grid=grid,
+    row_args = (pad1(m_safe), pad1(s), pad1(gl_clean))
+    inv_tau = 1.0 / temperature
+
+    if xb == x_pad:
+        dq, dcat = pl.pallas_call(
+            functools.partial(_bwd_single_kernel, xb=xb, inv_tau=inv_tau),
+            grid=(bt_pad // bq,),
+            in_specs=[
+                pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+                pl.BlockSpec((xb, d_pad), lambda i: (0, 0)),
+                pl.BlockSpec((bq, xb), lambda i: (i, 0)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+                pl.BlockSpec((xb, d_pad), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
+                jax.ShapeDtypeStruct((x_pad, d_pad), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(qp, catp, cntp, supp, *row_args)
+        return (
+            dq[:bt, :d].astype(q2.dtype),
+            dcat[:x, :d].astype(norm_catalog.dtype),
+            None,
+            None,
+        )
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, xb=xb, inv_tau=inv_tau),
+        grid=(bt_pad // bq, x_pad // xb),
         in_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((x_pad, d_pad), lambda i: (0, 0)),
-            pl.BlockSpec((bq, x_pad), lambda i: (i, 0)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((xb, d_pad), lambda i, j: (j, 0)),
+            pl.BlockSpec((bq, xb), lambda i, j: (i, j)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
         ],
-        out_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((x_pad, d_pad), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((x_pad, d_pad), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # dcat accumulates
+            dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(qp, catp, cntp, supp, pad1(m), pad1(s), pad1(gl_clean))
+    )(qp, catp, cntp, supp, *row_args)
+
+    dcat = pl.pallas_call(
+        functools.partial(_bwd_dcat_kernel, xb=xb, inv_tau=inv_tau),
+        grid=(x_pad // xb, bt_pad // bq),
+        in_specs=[
+            pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
+            pl.BlockSpec((xb, d_pad), lambda j, i: (j, 0)),
+            pl.BlockSpec((bq, xb), lambda j, i: (i, j)),
+            pl.BlockSpec((1, bq), lambda j, i: (0, i)),
+            pl.BlockSpec((1, bq), lambda j, i: (0, i)),
+            pl.BlockSpec((1, bq), lambda j, i: (0, i)),
+            pl.BlockSpec((1, bq), lambda j, i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((xb, d_pad), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((x_pad, d_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(qp, catp, cntp, supp, *row_args)
+
     return (
         dq[:bt, :d].astype(q2.dtype),
         dcat[:x, :d].astype(norm_catalog.dtype),
