@@ -1,0 +1,307 @@
+"""Parity against the reference's ACTUAL code (not a mirror).
+
+The reference's torch model files import cleanly without Lightning/Hydra,
+so this test instantiates the real `HSTU` encoder from
+/root/reference/src (sequential_encoders/hstu.py:521-672), copies its
+state_dict into our flax encoder through the cli/convert_ckpt weight map,
+and runs both on the same ragged inputs. Passing means the convert-ckpt
+path and the encoder math are verified against the genuine article —
+metric parity then reduces to data/eval-protocol parity (covered by the
+dataset and metric golden tests).
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+_REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(_REF), reason="reference checkout not available"
+)
+if os.path.isdir(_REF) and _REF not in sys.path:
+    sys.path.insert(0, _REF)
+
+
+def test_encoder_matches_real_reference_hstu(rng):
+    from generative_recommenders_pl.models.sequential_encoders.hstu import (
+        HSTU as RefHSTU,
+    )
+
+    from mygenerativerecommenders_tpu.cli.convert_ckpt import (
+        torch_state_dict_to_params,
+    )
+    from mygenerativerecommenders_tpu.models.hstu import HSTU as OurHSTU
+
+    d, n_hist, n_out, blocks = 16, 24, 6, 2
+    n = n_hist + n_out
+    torch.manual_seed(0)
+    ref = RefHSTU(
+        max_sequence_len=n_hist,
+        max_output_len=n_out,
+        embedding_dim=d,
+        item_embedding_dim=d,
+        num_blocks=blocks,
+        num_heads=1,
+        linear_dim=d,
+        attention_dim=d,
+        normalization="rel_bias",
+        linear_config="uvqk",
+        linear_activation="silu",
+        linear_dropout_rate=0.0,
+        attn_dropout_rate=0.0,
+        enable_relative_attention_bias=True,
+    ).eval()
+
+    ours = OurHSTU(
+        max_sequence_len=n_hist,
+        max_output_len=n_out,
+        embedding_dim=d,
+        num_blocks=blocks,
+        num_heads=1,
+        linear_dim=d,
+        attention_dim=d,
+        use_pallas=False,
+    )
+
+    # shared ragged inputs: embeddings zeroed at invalid positions
+    b = 4
+    lengths = rng.integers(2, n_hist, size=b).astype(np.int64)
+    ts = np.zeros((b, n), dtype=np.int64)
+    emb = rng.normal(size=(b, n, d)).astype(np.float32)
+    valid = np.zeros((b, n, 1), dtype=np.float32)
+    for i, ln in enumerate(lengths):
+        ts[i, :ln] = np.sort(rng.integers(10**5, 10**6, size=ln))
+        valid[i, :ln] = 1.0
+    emb = emb * valid
+
+    with torch.no_grad():
+        ref_out, _ = ref(
+            past_lengths=torch.tensor(lengths),
+            user_embeddings=torch.tensor(emb),
+            valid_mask=torch.tensor(valid),
+            past_payloads={"timestamps": torch.tensor(ts)},
+        )
+
+    # weights: real reference state_dict -> our params via the convert map
+    state = {f"sequence_encoder.{k}": v for k, v in ref.state_dict().items()}
+    import jax.numpy as jnp
+
+    init_params = ours.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(emb),
+        jnp.asarray(valid),
+        {"timestamps": jnp.asarray(ts.astype(np.int32))},
+    )
+    # the convert map addresses encoder leaves as "encoder/block_i/...";
+    # wrap the standalone module's params accordingly
+    mapped_inner = torch_state_dict_to_params(
+        state, {"encoder": init_params["params"]}
+    )["encoder"]
+    mapped = {"params": mapped_inner}
+    # every encoder leaf must have come from the reference state_dict
+    # (guard against silently keeping initialization)
+    flat_init = jax.tree_util.tree_leaves(init_params)
+    flat_mapped = jax.tree_util.tree_leaves(mapped)
+    changed = sum(
+        float(np.abs(np.asarray(a) - np.asarray(m)).max()) > 0
+        for a, m in zip(flat_init, flat_mapped)
+    )
+    assert changed >= 4 * blocks  # uvqk, o/kernel(+bias), pos_w, ts_w per block
+
+    our_out = ours.apply(
+        mapped,
+        jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(emb),
+        jnp.asarray(valid),
+        {"timestamps": jnp.asarray(ts.astype(np.int32))},
+        deterministic=True,
+    )
+    ref_np = ref_out.numpy()
+    our_np = np.asarray(our_out)
+    # compare on valid positions (the reference leaves padded rows at the
+    # raw jagged-roundtrip values; ours zeroes them)
+    mask = valid.astype(bool)[..., 0]
+    np.testing.assert_allclose(
+        our_np[mask], ref_np[mask], rtol=2e-4, atol=2e-5
+    )
+
+
+def test_loss_matches_real_reference_sampled_softmax(rng):
+    """Our dense+weights sampled-softmax == the reference's jagged loss
+    (losses/autoregressive_losses.py:249-306), fed identical fixed
+    negatives through a deterministic stub sampler."""
+    import jax.numpy as jnp
+
+    from generative_recommenders_pl.models.losses.autoregressive_losses import (
+        SampledSoftmaxLoss as RefLoss,
+    )
+    from generative_recommenders_pl.models.negatives_samples.negative_sampler import (
+        NegativesSampler as RefSamplerBase,
+    )
+    from generative_recommenders_pl.models.similarity.dot_product import (
+        DotProductSimilarity as RefDot,
+    )
+
+    from mygenerativerecommenders_tpu.models.losses import sampled_softmax_loss
+    from mygenerativerecommenders_tpu.models.postprocessors import l2_normalize
+
+    n_jagged, d, r, t = 37, 12, 8, 0.05
+    out_emb = rng.normal(size=(n_jagged, d)).astype(np.float32)
+    sup_emb = rng.normal(size=(n_jagged, d)).astype(np.float32)
+    sup_ids = rng.integers(1, 50, size=n_jagged).astype(np.int64)
+    weights = (rng.random(n_jagged) < 0.8).astype(np.float32)
+    neg_ids = rng.integers(1, 50, size=(n_jagged, r)).astype(np.int64)
+    neg_ids[0, :3] = sup_ids[0]  # force accidental hits
+    neg_emb_raw = rng.normal(size=(n_jagged, r, d)).astype(np.float32)
+
+    class StubSampler(RefSamplerBase):
+        def debug_str(self):
+            return "stub"
+
+        def process_batch(self, ids, presences, embeddings):
+            pass
+
+        def forward(self, positive_ids, num_to_sample):
+            return (
+                torch.tensor(neg_ids),
+                self.normalize_embeddings(torch.tensor(neg_emb_raw)),
+            )
+
+    ref_loss = RefLoss(num_to_sample=r, softmax_temperature=t)
+    sampler = StubSampler(l2_norm=True, l2_norm_eps=1e-6)
+    with torch.no_grad():
+        ref_val = ref_loss.jagged_forward(
+            output_embeddings=torch.tensor(out_emb),
+            supervision_ids=torch.tensor(sup_ids),
+            supervision_embeddings=torch.tensor(sup_emb),
+            supervision_weights=torch.tensor(weights),
+            negatives_sampler=sampler,
+            similarity=RefDot(),
+        ).item()
+
+    # ours, dense form over [1, N'] with the same fixed negatives
+    pos_n = l2_normalize(jnp.asarray(sup_emb))[None]
+    neg_n = l2_normalize(jnp.asarray(neg_emb_raw))[None]
+    q = jnp.asarray(out_emb)[None]
+    pos_logits = (q * pos_n).sum(-1) / t
+    neg_logits = jnp.einsum("btd,btrd->btr", q, neg_n) / t
+    hits = jnp.asarray(sup_ids)[None, :, None] == jnp.asarray(neg_ids)[None]
+    ours = float(
+        sampled_softmax_loss(
+            pos_logits, neg_logits, hits, jnp.asarray(weights)[None]
+        )
+    )
+    np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+
+def test_preprocessor_matches_real_reference(rng):
+    """Positional preprocessor vs the real reference module
+    (preprocessors/learnable_positional_embedding.py:42-58)."""
+    import jax.numpy as jnp
+
+    from generative_recommenders_pl.models.preprocessors.learnable_positional_embedding import (  # noqa: E501
+        LearnablePositionalEmbeddingInputFeaturesPreprocessor as RefPre,
+    )
+
+    from mygenerativerecommenders_tpu.models.preprocessors import (
+        LearnablePositionalEmbeddingPreprocessor,
+    )
+
+    b, n, d = 3, 20, 16
+    torch.manual_seed(0)
+    ref = RefPre(max_sequence_len=n, embedding_dim=d, dropout_rate=0.0).eval()
+
+    lengths = rng.integers(2, n, size=b).astype(np.int64)
+    ids = np.zeros((b, n), dtype=np.int64)
+    for i, ln in enumerate(lengths):
+        ids[i, :ln] = rng.integers(1, 99, size=ln)
+    emb = rng.normal(size=(b, n, d)).astype(np.float32)
+
+    with torch.no_grad():
+        _, ref_user, ref_valid, _ = ref(
+            past_lengths=torch.tensor(lengths),
+            past_ids=torch.tensor(ids),
+            past_embeddings=torch.tensor(emb),
+            past_payloads={},
+        )
+
+    ours = LearnablePositionalEmbeddingPreprocessor(
+        max_sequence_len=n, embedding_dim=d, dropout_rate=0.0
+    )
+    params = ours.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(emb),
+        {},
+    )
+    # copy the reference's position table in
+    pos_w = ref._pos_emb.weight.detach().numpy()
+    params = {
+        "params": {
+            **params["params"],
+            "pos_emb": jnp.asarray(pos_w),
+        }
+    }
+    _, our_user, our_valid, _, _ = ours.apply(
+        params,
+        jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(emb),
+        {},
+        deterministic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_user), ref_user.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(our_valid)[..., 0], ref_valid.numpy()[..., 0]
+    )
+
+
+def test_topk_matches_real_reference_candidate_index(rng):
+    """Filtered brute-force top-k vs the reference's CandidateIndex
+    over-fetch + mask path (indexing/candidate_index.py:107-164)."""
+    from generative_recommenders_pl.models.indexing.candidate_index import (
+        CandidateIndex,
+    )
+    from generative_recommenders_pl.models.indexing.top_k import (
+        MIPSBruteForceTopK,
+    )
+
+    from mygenerativerecommenders_tpu.ops.topk import mips_top_k
+
+    x, d, b, k, n0 = 60, 8, 5, 7, 6
+    cat_ids = np.arange(1, x + 1, dtype=np.int64)
+    cat_emb = rng.normal(size=(x, d)).astype(np.float32)
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    invalid = rng.choice(cat_ids, size=(b, n0), replace=True).astype(np.int64)
+    invalid[:, 0] = 0  # padding slots must be ignored
+
+    index = CandidateIndex(
+        k=k,
+        ids=torch.tensor(cat_ids),
+        top_k_module=MIPSBruteForceTopK(),
+        embeddings=torch.tensor(cat_emb)[None, :, :],
+    )
+    with torch.no_grad():
+        ref_ids, ref_scores = index.get_top_k_outputs(
+            query_embeddings=torch.tensor(queries),
+            k=k,
+            invalid_ids=torch.tensor(invalid),
+        )
+
+    our_ids, our_scores = mips_top_k(
+        queries, cat_emb, cat_ids.astype(np.int32), k=k,
+        invalid_ids=invalid.astype(np.int32), max_item_id=x,
+    )
+    np.testing.assert_array_equal(np.asarray(our_ids), ref_ids.numpy())
+    np.testing.assert_allclose(
+        np.asarray(our_scores), ref_scores.numpy(), rtol=1e-5
+    )
