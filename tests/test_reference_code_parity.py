@@ -305,3 +305,142 @@ def test_topk_matches_real_reference_candidate_index(rng):
     np.testing.assert_allclose(
         np.asarray(our_scores), ref_scores.numpy(), rtol=1e-5
     )
+
+
+def test_bce_loss_reference_is_unrunnable_and_ours_follows_its_equations(rng):
+    """The real BCELoss (autoregressive_losses.py:41-113) CRASHES with
+    DotProductSimilarity: it indexes `similarity(...)[0]`, which assumes
+    the tuple return of dot_product.py's batch-1 branch, but its positive
+    logits call lands in the [N',1,D] bmm branch that returns a raw
+    tensor — `[0].squeeze(1)` then IndexErrors. No reference config uses
+    BCE, so this is a latent reference bug; we assert the crash (so a
+    reference fix would surface here) and check our implementation
+    against the loss's written equations instead."""
+    import jax.numpy as jnp
+
+    from generative_recommenders_pl.models.losses.autoregressive_losses import (
+        BCELoss as RefBCE,
+    )
+    from generative_recommenders_pl.models.negatives_samples.negative_sampler import (
+        NegativesSampler as RefSamplerBase,
+    )
+    from generative_recommenders_pl.models.similarity.dot_product import (
+        DotProductSimilarity as RefDot,
+    )
+
+    from mygenerativerecommenders_tpu.models.losses import bce_loss
+    from mygenerativerecommenders_tpu.models.postprocessors import l2_normalize
+
+    n_jagged, d, t = 29, 10, 0.05
+    out_emb = rng.normal(size=(n_jagged, d)).astype(np.float32)
+    sup_emb = rng.normal(size=(n_jagged, d)).astype(np.float32)
+    sup_ids = rng.integers(1, 40, size=n_jagged).astype(np.int64)
+    weights = (rng.random(n_jagged) < 0.8).astype(np.float32)
+    neg_ids = rng.integers(1, 40, size=(n_jagged, 1)).astype(np.int64)
+    neg_ids[2, 0] = sup_ids[2]  # force an accidental hit
+    neg_emb_raw = rng.normal(size=(n_jagged, 1, d)).astype(np.float32)
+
+    class StubSampler(RefSamplerBase):
+        def debug_str(self):
+            return "stub"
+
+        def process_batch(self, ids, presences, embeddings):
+            pass
+
+        def forward(self, positive_ids, num_to_sample):
+            return (
+                torch.tensor(neg_ids),
+                self.normalize_embeddings(torch.tensor(neg_emb_raw)),
+            )
+
+    with torch.no_grad(), pytest.raises(IndexError):
+        RefBCE(temperature=t).jagged_forward(
+            output_embeddings=torch.tensor(out_emb),
+            supervision_ids=torch.tensor(sup_ids),
+            supervision_embeddings=torch.tensor(sup_emb),
+            supervision_weights=torch.tensor(weights),
+            negatives_sampler=StubSampler(l2_norm=True, l2_norm_eps=1e-6),
+            similarity=RefDot(),
+        )
+
+    # ours vs the written equations (mean of pos/neg BCE, hit rows dropped
+    # from numerator and denominator)
+    pos_n = l2_normalize(jnp.asarray(sup_emb))
+    neg_n = l2_normalize(jnp.asarray(neg_emb_raw))
+    q = jnp.asarray(out_emb)
+    pos_logits = (q * pos_n).sum(-1) / t
+    neg_logits = jnp.einsum("td,trd->tr", q, neg_n)[..., 0] / t
+    hits_np = np.asarray(sup_ids) == np.asarray(neg_ids)[:, 0]
+    ours = float(
+        bce_loss(
+            pos_logits[None], neg_logits[None], jnp.asarray(hits_np)[None],
+            jnp.asarray(weights)[None],
+        )
+    )
+    import torch.nn.functional as F
+
+    lw = torch.tensor(weights) * torch.tensor((~hits_np).astype(np.float32))
+    expected = (
+        (
+            F.binary_cross_entropy_with_logits(
+                torch.tensor(np.asarray(pos_logits)),
+                torch.ones(n_jagged), reduction="none",
+            )
+            + F.binary_cross_entropy_with_logits(
+                torch.tensor(np.asarray(neg_logits)),
+                torch.zeros(n_jagged), reduction="none",
+            )
+        )
+        * lw * 0.5
+    ).sum() / lw.sum()
+    np.testing.assert_allclose(ours, float(expected), rtol=1e-5)
+
+
+def test_ce_rating_loss_matches_real_reference(rng):
+    """Multiclass rating CE vs the real CERatingLoss
+    (autoregressive_losses.py:164-246)."""
+    import jax.numpy as jnp
+
+    from generative_recommenders_pl.models.losses.autoregressive_losses import (
+        CERatingLoss as RefCE,
+    )
+    from generative_recommenders_pl.models.negatives_samples.negative_sampler import (
+        LocalNegativesSampler as RefLocal,
+    )
+    from generative_recommenders_pl.models.similarity.dot_product import (
+        DotProductSimilarity as RefDot,
+    )
+
+    from mygenerativerecommenders_tpu.models.losses import ce_rating_loss
+    from mygenerativerecommenders_tpu.models.postprocessors import l2_normalize
+
+    n_jagged, d, num_ratings, t = 23, 10, 6, 0.05
+    out_emb = rng.normal(size=(n_jagged, d)).astype(np.float32)
+    rating_emb = rng.normal(size=(num_ratings, d)).astype(np.float32)
+    ratings = rng.integers(0, num_ratings, size=n_jagged).astype(np.int64)
+    weights = (rng.random(n_jagged) < 0.8).astype(np.float32)
+
+    # only normalize_embeddings is used from the sampler here
+    class NormOnly(RefLocal):
+        def __init__(self):
+            torch.nn.Module.__init__(self)
+            self._l2_norm, self._l2_norm_eps = True, 1e-6
+
+    with torch.no_grad():
+        ref_val = RefCE(temperature=t).jagged_forward(
+            output_embeddings=torch.tensor(out_emb),
+            supervision_embeddings=torch.tensor(rating_emb),
+            supervision_weights=torch.tensor(weights),
+            supervision_ratings=torch.tensor(ratings),
+            negatives_sampler=NormOnly(),
+            similarity=RefDot(),
+        ).item()
+
+    rat_n = l2_normalize(jnp.asarray(rating_emb))
+    logits = (jnp.asarray(out_emb) @ rat_n.T / t)[None]  # [1, N', R]
+    ours = float(
+        ce_rating_loss(
+            logits, jnp.asarray(ratings)[None], jnp.asarray(weights)[None]
+        )
+    )
+    np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
