@@ -21,7 +21,10 @@ The relative time+position bias matches
 "next-item" timestamp for each query position.)
 
 This file is the jnp reference path; `ops/pallas/hstu_attention.py`
-provides the fused TPU kernel, selected via `use_pallas`.
+provides the fused TPU kernel (selected by the encoder's `use_pallas`
+flag in models/hstu.py, which calls `hstu_attention_fused` directly —
+the fused kernel generates the bias in-kernel, so it has a different
+signature than the precomputed-bias reference below).
 """
 
 from __future__ import annotations
@@ -102,23 +105,3 @@ def hstu_attention_reference(
         "bhnm,bmhd->bnhd", attn, v.astype(attn.dtype), preferred_element_type=jnp.float32
     )
     return out.astype(v.dtype)
-
-
-def hstu_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    bias: jax.Array | None,
-    *,
-    max_len: int,
-    causal: bool = True,
-    use_pallas: bool = False,
-) -> jax.Array:
-    """Dispatching wrapper: Pallas fused kernel on TPU, jnp elsewhere."""
-    if use_pallas:
-        from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
-            hstu_attention_pallas,
-        )
-
-        return hstu_attention_pallas(q, k, v, bias, max_len=max_len, causal=causal)
-    return hstu_attention_reference(q, k, v, bias, max_len=max_len, causal=causal)

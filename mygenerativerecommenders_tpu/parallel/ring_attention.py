@@ -1,0 +1,152 @@
+"""Ring (context/sequence-parallel) HSTU attention over a mesh axis.
+
+Scales the HSTU encoder to sequence lengths far beyond one chip's memory
+by sharding the sequence axis N across a mesh axis ("sp") and rotating
+K/V shards around the ring with `jax.lax.ppermute` — the TPU-native
+answer to ring attention / context parallelism, a capability the
+reference lacks entirely (SURVEY.md §2.4: no SP/CP/ring code exists;
+its attention materializes the full [B, N, N] bias,
+sequential_encoders/hstu.py:186-204, capping practical N).
+
+Why HSTU makes ring attention EXACT and simple: HSTU attention is not
+softmax attention —
+
+    out[n] = sum_m silu(q[n].k[m] + bias[n, m]) / max_len * causal * v[m]
+
+is a plain linear accumulation over key positions (hstu.py:134-205 of the
+reference). There is no row-max/denominator to carry, so each device can
+accumulate partial outputs chunk-by-chunk with no online rescaling and
+bit-reproducible results (fixed summation order over the ring steps).
+
+Layout: inputs are sharded contiguously on the sequence axis — device p
+of P holds rows [p*Nl, (p+1)*Nl) with Nl = N/P. Each ring step t the
+local K/V chunk that ORIGINATED on device s = (p - t) mod P is resident;
+we add its contribution (with global row/col offsets driving the causal
+mask and the relative position/time biases) and pass the chunk to the
+next device. After P steps every (query row, key col) pair has been
+visited exactly once.
+
+The relative time bias needs the NEXT position's timestamp for each
+query row (ext[n+1], reference hstu.py:112-123); the last row of each
+shard reads the first timestamp of the following shard — one [B]-column
+ppermute before the loop.
+
+Causal note: with contiguous sharding, later devices do more useful work
+(earlier chunks are fully masked for early devices). All devices still
+execute P steps, so wall-clock matches the worst shard — the standard
+zigzag/striped layout halves this and can be layered on later; parity
+and memory scaling (O(N*Nl) per device instead of O(N^2)) hold today.
+
+Gradients: written in plain jnp + ppermute, so `jax.grad` through
+`shard_map` derives the reverse ring (ppermute's transpose is the
+inverse permutation) automatically — no custom VJP needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mygenerativerecommenders_tpu.ops.hstu_attention import bucketize_timedelta
+
+
+def _chunk_contribution(
+    q, k_chunk, v_chunk, tsq_next, tsk_chunk, row_off, col_off,
+    pos_w, ts_w, max_len, num_buckets,
+):
+    """Partial HSTU attention of local queries vs one K/V chunk.
+
+    q: [B, Nq, H, D]; k_chunk/v_chunk: [B, Nc, H, D*]; tsq_next: [B, Nq]
+    (the ext[n+1] timestamps for local query rows); tsk_chunk: [B, Nc].
+    row_off/col_off: global offsets of the first local row / chunk col.
+    Returns [B, Nq, H, Dv] float32 partial sum.
+    """
+    nq, nc = q.shape[1], k_chunk.shape[1]
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k_chunk, preferred_element_type=jnp.float32
+    )
+    rows = row_off + jnp.arange(nq)[:, None]  # global n
+    cols = col_off + jnp.arange(nc)[None, :]  # global m
+    # pos term: pos_w[(m - n) + max_len - 1], clipped like the fused kernel
+    pos_idx = jnp.clip((cols - rows) + (max_len - 1), 0, 2 * max_len - 2)
+    bias = pos_w[pos_idx].astype(jnp.float32)[None, :, :]  # [1, Nq, Nc]
+    delta = tsq_next[:, :, None] - tsk_chunk[:, None, :]  # [B, Nq, Nc]
+    bias = bias + ts_w[bucketize_timedelta(delta, num_buckets)]
+    attn = jax.nn.silu(s + bias[:, None, :, :]) / max_len
+    attn = jnp.where((rows >= cols)[None, None, :, :], attn, 0.0)
+    return jnp.einsum(
+        "bhnm,bmhd->bnhd", attn, v_chunk.astype(attn.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def ring_hstu_attention_local(
+    q, k, v, timestamps, pos_w, ts_w, *, max_len, num_buckets, axis_name
+):
+    """The per-shard body: call inside shard_map with the sequence axis of
+    q/k/v/timestamps sharded over `axis_name` (all other args replicated).
+
+    q, k: [B, Nl, H, Dqk]; v: [B, Nl, H, Dv]; timestamps: [B, Nl] int32.
+    max_len is the GLOBAL N (the 1/n normalizer and pos-table center).
+    Returns the local output shard [B, Nl, H, Dv] float32.
+    """
+    p = jax.lax.axis_index(axis_name)
+    num_shards = jax.lax.psum(1, axis_name)
+    nl = q.shape[1]
+    fwd_perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+    bwd_perm = [(i, (i - 1) % num_shards) for i in range(num_shards)]
+
+    ts = timestamps.astype(jnp.int32)
+    # ext[n+1] per local query row: shift left, last row takes the first
+    # timestamp of the NEXT shard — except the globally-last row, which
+    # repeats itself (reference extends by repeating the last column).
+    first_col_next = jax.lax.ppermute(ts[:, :1], axis_name, bwd_perm)  # [B,1]
+    is_last_shard = p == num_shards - 1
+    tail = jnp.where(is_last_shard, ts[:, -1:], first_col_next)
+    tsq_next = jnp.concatenate([ts[:, 1:], tail], axis=1)  # [B, Nl]
+
+    row_off = p * nl
+
+    def step(t, carry):
+        acc, k_c, v_c, tsk_c = carry
+        src = (p - t) % num_shards  # shard the chunk originated on
+        acc = acc + _chunk_contribution(
+            q, k_c, v_c, tsq_next, tsk_c, row_off, src * nl,
+            pos_w, ts_w, max_len, num_buckets,
+        )
+        k_c, v_c, tsk_c = jax.lax.ppermute(
+            (k_c, v_c, tsk_c), axis_name, fwd_perm
+        )
+        return acc, k_c, v_c, tsk_c
+
+    acc = jnp.zeros(q.shape[:3] + (v.shape[-1],), dtype=jnp.float32)
+    acc, *_ = jax.lax.fori_loop(0, num_shards, step, (acc, k, v, ts))
+    return acc.astype(v.dtype)
+
+
+def make_ring_hstu_attention(
+    mesh: Mesh, *, max_len: int, num_buckets: int, axis_name: str = "sp",
+    data_axis: str | None = "data",
+):
+    """jit-ready ring attention over `mesh`: (q, k, v, ts, pos_w, ts_w) ->
+    out, with the sequence dim sharded over `axis_name` (and, when
+    `data_axis` names a mesh axis, batch sharded over it)."""
+    dp = data_axis if data_axis in mesh.axis_names else None
+    seq = P(dp, axis_name)  # [B, N, ...]
+    fn = shard_map(
+        functools.partial(
+            ring_hstu_attention_local,
+            max_len=max_len, num_buckets=num_buckets, axis_name=axis_name,
+        ),
+        mesh=mesh,
+        in_specs=(
+            seq, seq, seq, P(dp, axis_name), P(), P(),
+        ),
+        out_specs=seq,
+        check_rep=False,
+    )
+    return jax.jit(fn)
