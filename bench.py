@@ -83,7 +83,12 @@ def bench_ours(batch, steps=30, warmup=5):
 
 
 def bench_torch_reference(batch, steps=3, warmup=1):
-    """Eager-torch mirror of the reference train step (CPU), for the ratio."""
+    """Eager-torch mirror of the reference train step (CPU), for the ratio.
+
+    Returns per-example throughput; callers may pass a SUB-batch to bound
+    wall-clock on CPU-starved boxes (eager ops here take seconds each, so
+    per-example rate is insensitive to batch size at these shapes).
+    """
     try:
         import torch
         import torch.nn.functional as F
@@ -178,7 +183,19 @@ def main():
     baseline = None
     if "--skip-baseline" not in sys.argv:
         try:
-            baseline = bench_torch_reference(batch)
+            # mirror on a sub-batch: eager CPU per-example throughput is
+            # batch-insensitive at these shapes, and the full 128-row
+            # mirror takes >5 min/step on small (2-vCPU) hosts, which
+            # would blow the bench time budget
+            import os
+
+            mb = 128 if (os.cpu_count() or 1) >= 16 else 16
+            mirror_batch = {
+                k: v[: min(mb, b)] for k, v in batch.items()
+            }
+            _log(f"torch mirror on batch {mb}")
+            baseline = bench_torch_reference(mirror_batch, steps=1, warmup=1)
+            _log(f"torch mirror {baseline:.2f} ex/s")
         except Exception:
             baseline = None
     vs = round(ours / baseline, 3) if baseline else None
