@@ -63,6 +63,26 @@ def count_offsets(
     return count[..., :num_catalog]
 
 
+def count_offsets_t(offsets: jax.Array, num_catalog: int) -> jax.Array:
+    """count_offsets in einsum-native TRANSPOSED layout: [HB, BT, 128] with
+    out[h, i, l] = #{r : offsets[i, r] == h*128 + l}.
+
+    offsets: [BT, R] int32. The [BT, hi, lo] -> [BT, X] flatten of the 2-D
+    variant is a sublane-retiling copy on TPU (~1.3 ms at ml-1m shapes);
+    emitting [hi, BT, lo] instead keeps (BT, lo) as the tiled dims — the
+    exact block layout ops/pallas/dense_softmax.py's _t kernels consume —
+    so only the dot's own output transpose remains for XLA to fuse.
+    """
+    num_hi = (num_catalog + _LO - 1) // _LO
+    hi = offsets // _LO
+    lo = offsets % _LO
+    h = (hi[..., None] == jnp.arange(num_hi, dtype=hi.dtype)).astype(jnp.bfloat16)
+    low = (lo[..., None] == jnp.arange(_LO, dtype=lo.dtype)).astype(jnp.bfloat16)
+    return jnp.einsum(
+        "brh,brl->hbl", h, low, preferred_element_type=jnp.bfloat16
+    )
+
+
 def sampled_softmax_dense_neg_lse(
     query: jax.Array,  # [..., D] (postprocessed outputs)
     norm_catalog: jax.Array,  # [X, D] normalized catalog embeddings
@@ -79,18 +99,29 @@ def sampled_softmax_dense_neg_lse(
     [BT, X] logits in VMEM in both directions (same math, TPU fast path).
     """
     if use_pallas:
-        from mygenerativerecommenders_tpu.ops.pallas.dense_softmax import (
-            fused_dense_neg_lse,
-        )
+        from mygenerativerecommenders_tpu.ops.pallas import dense_softmax
 
         lead = query.shape[:-1]
         r = neg_offsets.shape[-1]
-        count_padded = jax.lax.stop_gradient(
-            count_offsets(
-                neg_offsets.reshape(-1, r), norm_catalog.shape[0], keep_pad=True
+        x = norm_catalog.shape[0]
+        x_pad = ((x + 127) // 128) * 128
+        offs2 = neg_offsets.reshape(-1, r)
+        if x_pad <= dense_softmax._XB:
+            # single-x-block catalogs: transposed-count kernels skip the
+            # [BT, hi, lo] -> [BT, X] relayout copy entirely
+            count3 = jax.lax.stop_gradient(count_offsets_t(offs2, x))
+            lse = dense_softmax.fused_dense_neg_lse_t(
+                query.reshape(-1, query.shape[-1]),
+                norm_catalog,
+                count3,
+                positive_offsets.reshape(-1),
+                temperature,
             )
+            return lse.reshape(lead)
+        count_padded = jax.lax.stop_gradient(
+            count_offsets(offs2, x, keep_pad=True)
         )  # [BT, ceil(X/128)*128] bf16 — the kernel's exact layout
-        lse = fused_dense_neg_lse(
+        lse = dense_softmax.fused_dense_neg_lse(
             query.reshape(-1, query.shape[-1]),
             norm_catalog,
             count_padded,

@@ -334,3 +334,214 @@ def _vjp_bwd(temperature, residuals, gl):
 
 
 fused_dense_neg_lse.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-count variant: consumes the count matrix in its EINSUM-NATIVE
+# layout count3 [HB, BT, 128] (count3[h, i, l] = count[i, h*128 + l]) so the
+# [BT, hi, lo] -> [BT, X] flatten — a real relayout copy on TPU (sublane
+# re-tiling, ~1.3 ms at the ml-1m recipe) — never happens. The catalog axis
+# is processed in 128-lane slices inside the kernel: per slice one
+# [BQ, D] x [D, 128] MXU dot + VPU tile math, with an online (m, s) carry
+# across slices (same math as the tiled kernels above). Blocks of the
+# [HB, BT, 128] operand slice cleanly: the TILED dims of a rank-3 block are
+# the last two (bt-tile sublanes, 128 lanes), and the slice index h is a
+# static leading offset. Only for catalogs whose padded width fits one
+# VMEM x-block (x_pad <= _XB); larger catalogs take the tiled 2-D path.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel3(
+    q_ref,  # [BQ, D]
+    cat3_ref,  # [HB, 128, D]
+    cnt3_ref,  # [HB, BQ, 128] bf16
+    sup_ref,  # [1, BQ] i32
+    m_ref,  # out [1, BQ]
+    s_ref,  # out [1, BQ]
+    *,
+    n_hi: int,
+    inv_tau: float,
+):
+    q = q_ref[...].astype(jnp.float32)
+    sup = sup_ref[0, :]
+    bq = q.shape[0]
+    m = jnp.full((bq,), _NEG_INF, dtype=jnp.float32)
+    s = jnp.zeros((bq,), dtype=jnp.float32)
+    for h in range(n_hi):  # static unroll: n_hi <= _XB // 128 = 32
+        cat_h = cat3_ref[h].astype(jnp.float32)  # [128, D]
+        al = (
+            jax.lax.dot_general(
+                q, cat_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * inv_tau
+        )  # [BQ, 128]
+        cnt = cnt3_ref[h].astype(jnp.float32)
+        x_global = h * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
+        cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
+        al_live = jnp.where(cmask > 0, al, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(al_live, axis=1))
+        m_safe = jnp.where(m_new > 0.5 * _NEG_INF, m_new, 0.0)
+        s_blk = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
+        m_prev_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
+        s = s * jnp.exp(m_prev_safe - m_safe) + s_blk
+        m = m_new
+    m_ref[0, :] = m
+    s_ref[0, :] = s
+
+
+def _bwd_kernel3(
+    q_ref,  # [BQ, D]
+    cat3_ref,  # [HB, 128, D]
+    cnt3_ref,  # [HB, BQ, 128]
+    sup_ref, m_ref, s_ref, gl_ref,  # [1, BQ] rows
+    dq_ref,  # out [BQ, D]
+    dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid
+    *,
+    n_hi: int,
+    inv_tau: float,
+):
+    i = pl.program_id(0)
+    q = q_ref[...].astype(jnp.float32)
+    sup = sup_ref[0, :]
+    m_safe = m_ref[0, :]
+    s = s_ref[0, :]
+    gl = gl_ref[0, :]
+    w = gl / jnp.maximum(s, _TINY)
+    dq = jnp.zeros_like(q)
+    for h in range(n_hi):
+        cat_h = cat3_ref[h].astype(jnp.float32)  # [128, D]
+        al = (
+            jax.lax.dot_general(
+                q, cat_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * inv_tau
+        )
+        cnt = cnt3_ref[h].astype(jnp.float32)
+        x_global = h * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
+        cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
+        al_live = jnp.where(cmask > 0, al, _NEG_INF)
+        dal = (
+            cmask * jnp.exp(al_live - m_safe[:, None]) * w[:, None] * inv_tau
+        )  # [BQ, 128]
+        dq = dq + jax.lax.dot_general(
+            dal, cat_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        contrib = jax.lax.dot_general(
+            dal, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [128, D]
+        dcat3_ref[h] = jnp.where(i == 0, contrib, dcat3_ref[h] + contrib)
+    dq_ref[...] = dq
+
+
+def _prep3(q2, norm_catalog, count3):
+    bt, d = q2.shape
+    x = norm_catalog.shape[0]
+    bq = 128
+    bt_pad = _round_up(bt, bq)
+    d_pad = _round_up(d, 128)
+    x_pad = _round_up(x, 128)
+    n_hi = x_pad // 128
+    assert count3.shape == (n_hi, bt, 128), (count3.shape, n_hi, bt)
+    assert x_pad <= _XB, f"x_pad {x_pad} > {_XB}: use the tiled 2-D path"
+    qp = jnp.pad(q2, ((0, bt_pad - bt), (0, d_pad - d)))
+    cat3 = jnp.pad(
+        norm_catalog, ((0, x_pad - x), (0, d_pad - d))
+    ).reshape(n_hi, 128, d_pad)
+    cnt3 = jnp.pad(count3, ((0, 0), (0, bt_pad - bt), (0, 0)))
+    return qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, x_pad, n_hi
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_dense_neg_lse_t(q2, norm_catalog, count3, sup_off, temperature):
+    """neg_lse [BT] — transposed-count single-x-block fast path.
+
+    count3: [ceil(X/128), BT, 128] bf16 multiplicities in einsum-native
+    layout (non-diff); see count_offsets_t. Same math as
+    fused_dense_neg_lse, different operand layout.
+    """
+    m, s = _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature)
+    return _lse_from_ms(m, s)
+
+
+def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
+    qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, x_pad, n_hi = _prep3(
+        q2, norm_catalog, count3
+    )
+    supp = _sup_padded(sup_off, bt, bt_pad)
+    m, s = pl.pallas_call(
+        functools.partial(_fwd_kernel3, n_hi=n_hi, inv_tau=1.0 / temperature),
+        grid=(bt_pad // bq,),
+        in_specs=[
+            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+            pl.BlockSpec((n_hi, 128, d_pad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_hi, bq, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(qp, cat3, cnt3, supp)
+    return m[0, :bt], s[0, :bt]
+
+
+def _vjp_fwd3(q2, norm_catalog, count3, sup_off, temperature):
+    m, s = _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature)
+    return _lse_from_ms(m, s), (q2, norm_catalog, count3, sup_off, m, s)
+
+
+def _vjp_bwd3(temperature, residuals, gl):
+    q2, norm_catalog, count3, sup_off, m, s = residuals
+    qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, x_pad, n_hi = _prep3(
+        q2, norm_catalog, count3
+    )
+    supp = _sup_padded(sup_off, bt, bt_pad)
+    m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
+    pad1 = lambda a: jnp.pad(a.astype(jnp.float32), (0, bt_pad - bt))[None, :]
+    gl_clean = jnp.where(s > 0, gl, 0.0)
+
+    dq, dcat3 = pl.pallas_call(
+        functools.partial(_bwd_kernel3, n_hi=n_hi, inv_tau=1.0 / temperature),
+        grid=(bt_pad // bq,),
+        in_specs=[
+            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+            pl.BlockSpec((n_hi, 128, d_pad), lambda i: (0, 0, 0)),
+            pl.BlockSpec((n_hi, bq, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((1, bq), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+            pl.BlockSpec((n_hi, 128, d_pad), lambda i: (0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_hi, 128, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(qp, cat3, cnt3, supp, pad1(m_safe), pad1(s), pad1(gl_clean))
+    dcat = dcat3.reshape(x_pad, d_pad)[:x, :d]
+    return (
+        dq[:bt, :d].astype(q2.dtype),
+        dcat.astype(norm_catalog.dtype),
+        None,  # count3
+        None,  # sup_off
+    )
+
+
+fused_dense_neg_lse_t.defvjp(_vjp_fwd3, _vjp_bwd3)

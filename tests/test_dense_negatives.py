@@ -187,3 +187,64 @@ def test_dense_auto_gate_large_catalog(rng):
     cfg_force.model.loss.dense_catalog_negatives = "true"
     fn_force = task_retrieval.make_loss_fn(model, cfg_force, ids_big)
     assert fn_force.__name__ == "loss_fn_dense"
+
+
+def test_count_offsets_t_matches_2d(rng):
+    from mygenerativerecommenders_tpu.ops.dense_negatives import count_offsets_t
+
+    x, bt, r = 300, 9, 32
+    offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
+    c2 = np.asarray(count_offsets(offs, x, keep_pad=True), dtype=np.float64)
+    c3 = np.asarray(count_offsets_t(offs, x), dtype=np.float64)  # [HB, BT, 128]
+    np.testing.assert_array_equal(
+        c3.transpose(1, 0, 2).reshape(bt, -1), c2
+    )
+
+
+def test_fused_tiled_path_matches_reference(rng, monkeypatch):
+    """Force a tiny x-block so the MULTI-block (online-carry) kernels run,
+    and check all kernel variants against the jnp path: value + grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops import dense_negatives
+    from mygenerativerecommenders_tpu.ops.pallas import dense_softmax
+
+    bt, d, x, r, t = 52, 10, 300, 12, 0.06
+    q = jnp.asarray(rng.normal(size=(bt, d)).astype(np.float32))
+    cat = jnp.asarray(rng.normal(size=(x, d)).astype(np.float32))
+    cat = cat / np.linalg.norm(cat, axis=-1, keepdims=True)
+    offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
+    sup = jnp.asarray(rng.integers(0, x, size=bt).astype(np.int32))
+    offs = offs.at[1, :2].set(sup[1])  # accidental hits
+
+    def run(use_pallas):
+        def f(q, cat):
+            lse = dense_negatives.sampled_softmax_dense_neg_lse(
+                q, cat, offs, sup, t, use_pallas=use_pallas
+            )
+            return (jnp.where(jnp.isfinite(lse), lse, 0.0) ** 2).sum(), lse
+
+        (loss, lse), grads = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True
+        )(q, cat)
+        return loss, lse, grads
+
+    want_loss, want_lse, want_grads = run(False)
+
+    with pltpu.force_tpu_interpret_mode():
+        # x_pad = 384 <= default _XB -> transposed single-block kernels
+        t_loss, t_lse, t_grads = run(True)
+        # shrink _XB so x tiles into 3 blocks -> tiled 2-D kernels
+        monkeypatch.setattr(dense_softmax, "_XB", 128)
+        tiled_loss, tiled_lse, tiled_grads = run(True)
+
+    for loss, lse, grads in [
+        (t_loss, t_lse, t_grads),
+        (tiled_loss, tiled_lse, tiled_grads),
+    ]:
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(want_lse), rtol=1e-5)
+        np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
+        for a, b in zip(grads, want_grads):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
