@@ -60,6 +60,10 @@ class EncoderConfig:
     num_time_buckets: int = 128
     # "auto" -> fused Pallas kernels on TPU, jnp elsewhere; or true/false
     use_pallas: str = "auto"
+    # >1: ring (sequence-parallel) attention — the sequence axis is
+    # sharded over an "sp" mesh axis of this many devices
+    # (parallel/ring_attention.py); hstu only, overrides use_pallas
+    sp_shards: int = 1
     # sasrec only
     ffn_hidden_dim: int = 0
 

@@ -73,6 +73,12 @@ class HSTUBlock(nn.Module):
     concat_ua: bool = False
     eps: float = 1e-6
     use_pallas: bool = False
+    # >1: ring (sequence-parallel) attention over the ambient mesh's
+    # sp_mesh_axes[1] axis; sp_mesh_axes[0] (or None) is the batch axis.
+    # Requires the time_position bias and overrides use_pallas (the fused
+    # kernel is not offset-aware). See parallel/ring_attention.py.
+    sp_shards: int = 1
+    sp_mesh_axes: tuple = ("data", "sp")
 
     @nn.compact
     def __call__(
@@ -119,7 +125,15 @@ class HSTUBlock(nn.Module):
         vh = v.reshape(b, n, h, dv)
 
         if self.normalization in ("rel_bias", "hstu_rel_bias"):
-            if self.use_pallas and ts_w is not None:
+            if self.sp_shards > 1:
+                if ts_w is None:
+                    raise ValueError(
+                        "sp_shards > 1 requires relative_bias_type="
+                        "'time_position' (ring attention generates the "
+                        "time bias per chunk)"
+                    )
+                attn = self._ring_attention(qh, kh, vh, timestamps, pos_w, ts_w)
+            elif self.use_pallas and ts_w is not None:
                 from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
                     hstu_attention_fused,
                 )
@@ -164,6 +178,51 @@ class HSTUBlock(nn.Module):
         )(o_input)
         return out + x
 
+    def _ring_attention(self, qh, kh, vh, timestamps, pos_w, ts_w):
+        """Sequence-parallel attention: shard N over the sp mesh axis and
+        ring-rotate K/V (exact — HSTU attention is a plain sum over keys).
+
+        N is padded up to a multiple of sp_shards; padded keys contribute
+        nothing (their v rows are zero) and padded query rows are sliced
+        off. Timestamps pad by repeating the last column, so the last real
+        row's "next-item" timestamp matches the dense ext[n+1] trick
+        (reference hstu.py:112-123) exactly.
+        """
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from mygenerativerecommenders_tpu.parallel.ring_attention import (
+            ring_hstu_attention_local,
+        )
+
+        n = qh.shape[1]
+        sp = self.sp_shards
+        n_pad = ((n + sp - 1) // sp) * sp
+        pad = n_pad - n
+        if pad:
+            widths = ((0, 0), (0, pad), (0, 0), (0, 0))
+            qh = jnp.pad(qh, widths)
+            kh = jnp.pad(kh, widths)
+            vh = jnp.pad(vh, widths)
+            timestamps = jnp.pad(timestamps, ((0, 0), (0, pad)), mode="edge")
+        dp, sp_name = self.sp_mesh_axes
+        seq = P(dp, sp_name, None, None)
+        fn = jax.shard_map(  # mesh=None: the trainer-set ambient mesh
+            functools.partial(
+                ring_hstu_attention_local,
+                # 1/n normalizer and pos-table center use the UNPADDED n
+                # (= max_attn_len in every real configuration)
+                max_len=self.max_attn_len,
+                num_buckets=self.num_time_buckets,
+                axis_name=sp_name,
+            ),
+            in_specs=(seq, seq, seq, P(dp, sp_name), P(), P()),
+            out_specs=seq,
+            check_vma=False,
+        )
+        return fn(qh, kh, vh, timestamps, pos_w, ts_w)[:, :n]
+
 
 class HSTU(nn.Module):
     """Stack of HSTU blocks over a dense masked batch (hstu.py:521-672).
@@ -190,6 +249,8 @@ class HSTU(nn.Module):
     num_time_buckets: int = 128
     concat_ua: bool = False
     use_pallas: bool = False
+    sp_shards: int = 1
+    sp_mesh_axes: tuple = ("data", "sp")
 
     @nn.compact
     def __call__(
@@ -223,6 +284,8 @@ class HSTU(nn.Module):
                 num_time_buckets=self.num_time_buckets,
                 concat_ua=self.concat_ua,
                 use_pallas=self.use_pallas,
+                sp_shards=self.sp_shards,
+                sp_mesh_axes=self.sp_mesh_axes,
                 name=f"block_{i}",
             )(x, timestamps, deterministic=deterministic)
         return x * mask

@@ -147,7 +147,11 @@ class GenerativeRecommender(nn.Module):
                 relative_bias_type=enc.relative_bias_type,
                 num_time_buckets=enc.num_time_buckets,
                 concat_ua=enc.concat_ua,
-                use_pallas=_resolve_use_pallas(enc.use_pallas),
+                # ring attention overrides the fused kernel (not offset-aware)
+                use_pallas=(
+                    _resolve_use_pallas(enc.use_pallas) and enc.sp_shards <= 1
+                ),
+                sp_shards=enc.sp_shards,
             )
         elif enc.kind == "sasrec":
             from mygenerativerecommenders_tpu.models.sasrec import SASRec

@@ -48,8 +48,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mygenerativerecommenders_tpu.ops.hstu_attention import bucketize_timedelta
 
@@ -137,7 +136,7 @@ def make_ring_hstu_attention(
     `data_axis` names a mesh axis, batch sharded over it)."""
     dp = data_axis if data_axis in mesh.axis_names else None
     seq = P(dp, axis_name)  # [B, N, ...]
-    fn = shard_map(
+    fn = jax.shard_map(
         functools.partial(
             ring_hstu_attention_local,
             max_len=max_len, num_buckets=num_buckets, axis_name=axis_name,
@@ -147,6 +146,6 @@ def make_ring_hstu_attention(
             seq, seq, seq, P(dp, axis_name), P(), P(),
         ),
         out_specs=seq,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)

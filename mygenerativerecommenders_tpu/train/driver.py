@@ -40,16 +40,27 @@ from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
 log = RankedLogger(__name__)
 
 
-def make_mesh(num_devices: int = 0, model_axis: int = 1) -> Mesh:
+def make_mesh(num_devices: int = 0, model_axis: int = 1, sp_axis: int = 1) -> Mesh:
+    """(data[, model][, sp]) mesh: "model" shards embedding-table rows,
+    "sp" shards the sequence axis (ring attention); "data" gets the rest."""
     devices = jax.devices()
     n = num_devices or len(devices)
+    shape, names = [], []
     if model_axis > 1:
-        data = n // model_axis
-        return Mesh(
-            np.array(devices[: data * model_axis]).reshape(data, model_axis),
-            axis_names=("data", "model"),
+        shape.append(model_axis)
+        names.append("model")
+    if sp_axis > 1:
+        shape.append(sp_axis)
+        names.append("sp")
+    denom = int(np.prod(shape)) if shape else 1
+    data = n // denom
+    if data < 1:
+        raise ValueError(
+            f"mesh needs {denom} devices for model_axis={model_axis} x "
+            f"sp_axis={sp_axis}, have {n}"
         )
-    return Mesh(np.array(devices[:n]).reshape(n), axis_names=("data",))
+    arr = np.array(devices[: data * denom]).reshape([data] + shape)
+    return Mesh(arr, axis_names=tuple(["data"] + names))
 
 
 class Trainer:
@@ -65,11 +76,14 @@ class Trainer:
             if cfg.model.embedding.kind == "sharded_local"
             else 1
         )
-        self.mesh = make_mesh(cfg.trainer.num_devices, model_axis=model_axis)
+        sp_axis = cfg.model.encoder.sp_shards if cfg.model.encoder.kind == "hstu" else 1
+        self.mesh = make_mesh(
+            cfg.trainer.num_devices, model_axis=model_axis, sp_axis=sp_axis
+        )
         self._mesh_ctx = None
-        if model_axis > 1:
-            # row-sharded embedding: shard_map needs the ambient mesh.
-            # Global setter; call close() to restore (tests rely on it).
+        if model_axis > 1 or sp_axis > 1:
+            # row-sharded embedding / ring attention: shard_map needs the
+            # ambient mesh. Global setter; close() restores (tests rely on it).
             self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
         self.replicated = NamedSharding(self.mesh, P())
