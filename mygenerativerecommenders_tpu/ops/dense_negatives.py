@@ -78,9 +78,15 @@ def count_offsets_t(offsets: jax.Array, num_catalog: int) -> jax.Array:
     lo = offsets % _LO
     h = (hi[..., None] == jnp.arange(num_hi, dtype=hi.dtype)).astype(jnp.bfloat16)
     low = (lo[..., None] == jnp.arange(_LO, dtype=lo.dtype)).astype(jnp.bfloat16)
-    return jnp.einsum(
+    count = jnp.einsum(
         "brh,brl->hbl", h, low, preferred_element_type=jnp.bfloat16
     )
+    if offsets.shape[-1] <= 255:
+        # counts <= R fit uint8: halves the HBM traffic of the transpose
+        # copy and of the kernels' two full reads (exact: bf16 holds
+        # integers <= 256 exactly, and the cast back to f32 is exact)
+        count = count.astype(jnp.uint8)
+    return count
 
 
 def sampled_softmax_dense_neg_lse(

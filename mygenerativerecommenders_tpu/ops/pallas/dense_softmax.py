@@ -376,7 +376,10 @@ def _fwd_kernel3(
             )
             * inv_tau
         )  # [BQ, 128]
-        cnt = cnt3_ref[h].astype(jnp.float32)
+        cnt = cnt3_ref[h]
+        if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
+            cnt = cnt.astype(jnp.int32)
+        cnt = cnt.astype(jnp.float32)
         x_global = h * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
         cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
         al_live = jnp.where(cmask > 0, al, _NEG_INF)
@@ -418,7 +421,10 @@ def _bwd_kernel3(
             )
             * inv_tau
         )
-        cnt = cnt3_ref[h].astype(jnp.float32)
+        cnt = cnt3_ref[h]
+        if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
+            cnt = cnt.astype(jnp.int32)
+        cnt = cnt.astype(jnp.float32)
         x_global = h * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
         cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
         al_live = jnp.where(cmask > 0, al, _NEG_INF)

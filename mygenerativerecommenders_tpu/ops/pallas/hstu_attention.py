@@ -91,8 +91,11 @@ def _kernel(
         def accumulate_bucket(bi, ts_bias):
             return ts_bias + jnp.where(bucket == bi, tsw_ref[0, bi], 0.0)
 
+        # timestamps are sorted, so a tile's log-buckets span a narrow
+        # range — sweep only [min, max] instead of all num_buckets+1
+        # (typically ~5x fewer iterations; exact either way)
         ts_bias = jax.lax.fori_loop(
-            0, num_buckets + 1, accumulate_bucket,
+            jnp.min(bucket), jnp.max(bucket) + 1, accumulate_bucket,
             jnp.zeros((bq, bk), dtype=jnp.float32),
         )
         bias = bias + ts_bias
@@ -152,8 +155,9 @@ def _fwd_train_kernel(
         def accumulate_bucket(bi, ts_bias):
             return ts_bias + jnp.where(bucket == bi, tsw_ref[0, bi], 0.0)
 
+        # sorted timestamps -> narrow per-tile bucket range (see _kernel)
         ts_bias = jax.lax.fori_loop(
-            0, num_buckets + 1, accumulate_bucket,
+            jnp.min(bucket), jnp.max(bucket) + 1, accumulate_bucket,
             jnp.zeros((bq, bk), dtype=jnp.float32),
         )
         z = s + bias + ts_bias
