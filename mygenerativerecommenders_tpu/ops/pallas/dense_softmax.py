@@ -340,57 +340,100 @@ fused_dense_neg_lse.defvjp(_vjp_fwd, _vjp_bwd)
 # Transposed-count variant: consumes the count matrix in its EINSUM-NATIVE
 # layout count3 [HB, BT, 128] (count3[h, i, l] = count[i, h*128 + l]) so the
 # [BT, hi, lo] -> [BT, X] flatten — a real relayout copy on TPU (sublane
-# re-tiling, ~1.3 ms at the ml-1m recipe) — never happens. The catalog axis
-# is processed in 128-lane slices inside the kernel: per slice one
-# [BQ, D] x [D, 128] MXU dot + VPU tile math, with an online (m, s) carry
-# across slices (same math as the tiled kernels above). Blocks of the
-# [HB, BT, 128] operand slice cleanly: the TILED dims of a rank-3 block are
-# the last two (bt-tile sublanes, 128 lanes), and the slice index h is a
-# static leading offset. Only for catalogs whose padded width fits one
-# VMEM x-block (x_pad <= _XB); larger catalogs take the tiled 2-D path.
+# re-tiling, ~1.3 ms at the ml-1m recipe; ~8.8 ms at ml-20m's X=26744) —
+# never happens. The catalog axis is processed in 128-lane slices inside
+# the kernel: per slice one [BQ, D] x [D, 128] MXU dot + VPU tile math,
+# with an online (m, s) carry across slices (same math as the tiled
+# kernels above). Blocks of the [HB, BT, 128] operand slice cleanly: the
+# TILED dims of a rank-3 block are the last two (bt-tile sublanes, 128
+# lanes), and the slice index h is a static leading offset.
+#
+# Catalogs whose padded width exceeds one VMEM x-block (_XB) are TILED
+# over a second grid dimension of hb-slice groups, carrying (m, s) online
+# across x-blocks exactly like the 2-D kernels; the backward splits into
+# dq (grid bt, x) and dcat (grid x, bt) kernels so each accumulator's
+# grid visits stay contiguous.
 # ---------------------------------------------------------------------------
+
+
+def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau):
+    """Block-wide (masked-live logits, cmask), both [BQ, hb*128].
+
+    The [hb, 128, D] catalog block is LAYOUT-IDENTICAL to [hb*128, D]
+    (both h-major, 128 sublane rows, D lanes), so the logits come from one
+    wide MXU dot — the per-slice dot + online-carry form measured 7x
+    slower (serialized per-slice VPU reductions). Only the count needs
+    per-slice handling: [hb, BQ, 128] -> [BQ, hb*128] is a relayout, done
+    here as hb cheap lane-offset copies into VMEM scratch.
+    """
+    q = q_ref[...].astype(jnp.float32)  # [BQ, D]
+    cat = cat3_ref[...].reshape(hb * 128, cat3_ref.shape[2])  # free bitcast
+    al = (
+        jax.lax.dot_general(
+            q, cat.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * inv_tau
+    )  # [BQ, W]
+    for h in range(hb):  # static unroll: hb <= _XB // 128 = 32
+        cnt_scr[:, h * 128:(h + 1) * 128] = cnt3_ref[h]
+    cnt = cnt_scr[...]
+    if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
+        cnt = cnt.astype(jnp.int32)
+    cnt = cnt.astype(jnp.float32)
+    sup = sup_ref[0, :]
+    x_global = j * hb * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
+    cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
+    al_live = jnp.where(cmask > 0, al, _NEG_INF)
+    return al_live, cmask, cat
 
 
 def _fwd_kernel3(
     q_ref,  # [BQ, D]
     cat3_ref,  # [HB, 128, D]
-    cnt3_ref,  # [HB, BQ, 128] bf16
+    cnt3_ref,  # [HB, BQ, 128] bf16/u8
     sup_ref,  # [1, BQ] i32
     m_ref,  # out [1, BQ]
     s_ref,  # out [1, BQ]
+    cnt_scr,  # scratch [BQ, HB*128], cnt3 dtype
     *,
-    n_hi: int,
+    hb: int,
     inv_tau: float,
+    single: bool,
 ):
-    q = q_ref[...].astype(jnp.float32)
-    sup = sup_ref[0, :]
-    bq = q.shape[0]
-    m = jnp.full((bq,), _NEG_INF, dtype=jnp.float32)
-    s = jnp.zeros((bq,), dtype=jnp.float32)
-    for h in range(n_hi):  # static unroll: n_hi <= _XB // 128 = 32
-        cat_h = cat3_ref[h].astype(jnp.float32)  # [128, D]
-        al = (
-            jax.lax.dot_general(
-                q, cat_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * inv_tau
-        )  # [BQ, 128]
-        cnt = cnt3_ref[h]
-        if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
-            cnt = cnt.astype(jnp.int32)
-        cnt = cnt.astype(jnp.float32)
-        x_global = h * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
-        cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
-        al_live = jnp.where(cmask > 0, al, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(al_live, axis=1))
-        m_safe = jnp.where(m_new > 0.5 * _NEG_INF, m_new, 0.0)
-        s_blk = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
-        m_prev_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
-        s = s * jnp.exp(m_prev_safe - m_safe) + s_blk
-        m = m_new
-    m_ref[0, :] = m
-    s_ref[0, :] = s
+    j = 0 if single else pl.program_id(1)
+    al_live, cmask, _ = _wide_al_cmask(
+        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau
+    )
+    m_blk = jnp.max(al_live, axis=1)  # [BQ] (raw; -1e30 if block all-dead)
+    if single:
+        m_safe = jnp.where(m_blk > 0.5 * _NEG_INF, m_blk, 0.0)
+        m_ref[0, :] = m_blk
+        s_ref[0, :] = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
+        return
+    # carry across x-blocks; first visit's output reads are discarded
+    m_prev = jnp.where(j == 0, jnp.full_like(m_blk, _NEG_INF), m_ref[0, :])
+    s_prev = jnp.where(j == 0, jnp.zeros_like(m_blk), s_ref[0, :])
+    m_new = jnp.maximum(m_prev, m_blk)
+    m_safe = jnp.where(m_new > 0.5 * _NEG_INF, m_new, 0.0)
+    s_blk = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
+    m_prev_safe = jnp.where(m_prev > 0.5 * _NEG_INF, m_prev, 0.0)
+    s_new = s_prev * jnp.exp(m_prev_safe - m_safe) + s_blk
+    m_ref[0, :] = m_new
+    s_ref[0, :] = s_new
+
+
+def _wide_dal(q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref,
+              gl_ref, j, hb, inv_tau):
+    """(dal, q, cat) for one x-block: dal [BQ, hb*128] wide."""
+    al_live, cmask, cat = _wide_al_cmask(
+        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau
+    )
+    m_safe = m_ref[0, :]
+    s = s_ref[0, :]
+    w = gl_ref[0, :] / jnp.maximum(s, _TINY)
+    dal = cmask * jnp.exp(al_live - m_safe[:, None]) * w[:, None] * inv_tau
+    return dal, q_ref[...].astype(jnp.float32), cat
 
 
 def _bwd_kernel3(
@@ -400,47 +443,83 @@ def _bwd_kernel3(
     sup_ref, m_ref, s_ref, gl_ref,  # [1, BQ] rows
     dq_ref,  # out [BQ, D]
     dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid
+    cnt_scr,  # scratch [BQ, HB*128]
     *,
-    n_hi: int,
+    hb: int,
     inv_tau: float,
 ):
+    """Single-x-block backward: one pass produces both grads (dal shared)."""
     i = pl.program_id(0)
-    q = q_ref[...].astype(jnp.float32)
-    sup = sup_ref[0, :]
-    m_safe = m_ref[0, :]
-    s = s_ref[0, :]
-    gl = gl_ref[0, :]
-    w = gl / jnp.maximum(s, _TINY)
-    dq = jnp.zeros_like(q)
-    for h in range(n_hi):
-        cat_h = cat3_ref[h].astype(jnp.float32)  # [128, D]
-        al = (
-            jax.lax.dot_general(
-                q, cat_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * inv_tau
-        )
-        cnt = cnt3_ref[h]
-        if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
-            cnt = cnt.astype(jnp.int32)
-        cnt = cnt.astype(jnp.float32)
-        x_global = h * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
-        cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
-        al_live = jnp.where(cmask > 0, al, _NEG_INF)
-        dal = (
-            cmask * jnp.exp(al_live - m_safe[:, None]) * w[:, None] * inv_tau
-        )  # [BQ, 128]
-        dq = dq + jax.lax.dot_general(
-            dal, cat_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        contrib = jax.lax.dot_general(
-            dal, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [128, D]
-        dcat3_ref[h] = jnp.where(i == 0, contrib, dcat3_ref[h] + contrib)
-    dq_ref[...] = dq
+    dal, q, cat = _wide_dal(
+        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref, gl_ref,
+        0, hb, inv_tau,
+    )
+    dq_ref[...] = jax.lax.dot_general(
+        dal, cat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    contrib = jax.lax.dot_general(
+        dal, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [W, D] — layout-identical to the [HB, 128, D] output block
+    contrib = contrib.reshape(dcat3_ref.shape)
+    dcat3_ref[...] = jnp.where(i == 0, contrib, dcat3_ref[...] + contrib)
+
+
+def _bwd_dq_kernel3(
+    q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+    dq_ref,  # out [BQ, D], accumulated over the x grid (inner dim)
+    cnt_scr,
+    *,
+    hb: int,
+    inv_tau: float,
+):
+    j = pl.program_id(1)
+    dal, _, cat = _wide_dal(
+        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref, gl_ref,
+        j, hb, inv_tau,
+    )
+    dq = jax.lax.dot_general(
+        dal, cat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[...] = jnp.where(j == 0, dq, dq_ref[...] + dq)
+
+
+def _bwd_dcat_kernel3(
+    q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+    dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid (inner dim)
+    cnt_scr,
+    *,
+    hb: int,
+    inv_tau: float,
+):
+    j = pl.program_id(0)  # x-block (outer); bt tiles run on the inner dim
+    i = pl.program_id(1)
+    dal, q, _ = _wide_dal(
+        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref, gl_ref,
+        j, hb, inv_tau,
+    )
+    contrib = jax.lax.dot_general(
+        dal, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).reshape(dcat3_ref.shape)
+    dcat3_ref[...] = jnp.where(i == 0, contrib, dcat3_ref[...] + contrib)
+
+
+def _hb_blocks(n_lanes: int) -> tuple:
+    """(hb, n_j): hi-slices per x-block and number of x-blocks. hb maxes
+    out at _XB//128; beyond that the catalog tiles over a second grid dim,
+    choosing the hb with the least zero-slice padding (ties -> larger hb,
+    i.e. fewer blocks)."""
+    max_hb = _XB // 128
+    if n_lanes <= max_hb:
+        return n_lanes, 1
+    best = None
+    for hb in range(max_hb, 0, -1):
+        n_j = -(-n_lanes // hb)
+        waste = hb * n_j - n_lanes
+        if best is None or waste < best[0]:
+            best = (waste, hb, n_j)
+        if waste == 0:
+            break
+    return best[1], best[2]
 
 
 def _prep3(q2, norm_catalog, count3):
@@ -449,54 +528,61 @@ def _prep3(q2, norm_catalog, count3):
     bq = 128
     bt_pad = _round_up(bt, bq)
     d_pad = _round_up(d, 128)
-    x_pad = _round_up(x, 128)
-    n_hi = x_pad // 128
+    n_hi = _round_up(x, 128) // 128
     assert count3.shape == (n_hi, bt, 128), (count3.shape, n_hi, bt)
-    assert x_pad <= _XB, f"x_pad {x_pad} > {_XB}: use the tiled 2-D path"
+    hb, n_j = _hb_blocks(n_hi)
+    x_pad = n_j * hb * 128  # zero-padded slices count nothing: exact
     qp = jnp.pad(q2, ((0, bt_pad - bt), (0, d_pad - d)))
     cat3 = jnp.pad(
         norm_catalog, ((0, x_pad - x), (0, d_pad - d))
-    ).reshape(n_hi, 128, d_pad)
-    cnt3 = jnp.pad(count3, ((0, 0), (0, bt_pad - bt), (0, 0)))
-    return qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, x_pad, n_hi
+    ).reshape(n_j * hb, 128, d_pad)
+    cnt3 = jnp.pad(
+        count3, ((0, n_j * hb - n_hi), (0, bt_pad - bt), (0, 0))
+    )
+    return qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_dense_neg_lse_t(q2, norm_catalog, count3, sup_off, temperature):
-    """neg_lse [BT] — transposed-count single-x-block fast path.
+    """neg_lse [BT] — transposed-count fast path (any catalog size).
 
-    count3: [ceil(X/128), BT, 128] bf16 multiplicities in einsum-native
+    count3: [ceil(X/128), BT, 128] bf16/u8 multiplicities in einsum-native
     layout (non-diff); see count_offsets_t. Same math as
-    fused_dense_neg_lse, different operand layout.
+    fused_dense_neg_lse, different operand layout; catalogs beyond one
+    VMEM x-block tile over a second grid dimension with an online (m, s)
+    carry.
     """
     m, s = _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature)
     return _lse_from_ms(m, s)
 
 
 def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
-    qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, x_pad, n_hi = _prep3(
+    qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j = _prep3(
         q2, norm_catalog, count3
     )
     supp = _sup_padded(sup_off, bt, bt_pad)
     m, s = pl.pallas_call(
-        functools.partial(_fwd_kernel3, n_hi=n_hi, inv_tau=1.0 / temperature),
-        grid=(bt_pad // bq,),
+        functools.partial(
+            _fwd_kernel3, hb=hb, inv_tau=1.0 / temperature, single=(n_j == 1)
+        ),
+        grid=(bt_pad // bq, n_j),
         in_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((n_hi, 128, d_pad), lambda i: (0, 0, 0)),
-            pl.BlockSpec((n_hi, bq, 128), lambda i: (0, i, 0)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((hb, bq, 128), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
     )(qp, cat3, cnt3, supp)
     return m[0, :bt], s[0, :bt]
@@ -509,39 +595,79 @@ def _vjp_fwd3(q2, norm_catalog, count3, sup_off, temperature):
 
 def _vjp_bwd3(temperature, residuals, gl):
     q2, norm_catalog, count3, sup_off, m, s = residuals
-    qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, x_pad, n_hi = _prep3(
+    qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j = _prep3(
         q2, norm_catalog, count3
     )
     supp = _sup_padded(sup_off, bt, bt_pad)
     m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
     pad1 = lambda a: jnp.pad(a.astype(jnp.float32), (0, bt_pad - bt))[None, :]
     gl_clean = jnp.where(s > 0, gl, 0.0)
+    row_args = (pad1(m_safe), pad1(s), pad1(gl_clean))
+    inv_tau = 1.0 / temperature
+    row_spec = lambda: pl.BlockSpec((1, bq), lambda i, j: (0, i))
 
-    dq, dcat3 = pl.pallas_call(
-        functools.partial(_bwd_kernel3, n_hi=n_hi, inv_tau=1.0 / temperature),
-        grid=(bt_pad // bq,),
-        in_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((n_hi, 128, d_pad), lambda i: (0, 0, 0)),
-            pl.BlockSpec((n_hi, bq, 128), lambda i: (0, i, 0)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-            pl.BlockSpec((1, bq), lambda i: (0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
-            pl.BlockSpec((n_hi, 128, d_pad), lambda i: (0, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_hi, 128, d_pad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-    )(qp, cat3, cnt3, supp, pad1(m_safe), pad1(s), pad1(gl_clean))
-    dcat = dcat3.reshape(x_pad, d_pad)[:x, :d]
+    if n_j == 1:
+        # one x-block: a single pass shares dal between both grads
+        dq, dcat3 = pl.pallas_call(
+            functools.partial(_bwd_kernel3, hb=hb, inv_tau=inv_tau),
+            grid=(bt_pad // bq,),
+            in_specs=[
+                pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+                pl.BlockSpec((hb, 128, d_pad), lambda i: (0, 0, 0)),
+                pl.BlockSpec((hb, bq, 128), lambda i: (0, i, 0)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+                pl.BlockSpec((1, bq), lambda i: (0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
+                pl.BlockSpec((hb, 128, d_pad), lambda i: (0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
+                jax.ShapeDtypeStruct((hb, 128, d_pad), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+        )(qp, cat3, cnt3, supp, *row_args)
+    else:
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel3, hb=hb, inv_tau=inv_tau),
+            grid=(bt_pad // bq, n_j),
+            in_specs=[
+                pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
+                pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
+                pl.BlockSpec((hb, bq, 128), lambda i, j: (j, i, 0)),
+                row_spec(), row_spec(), row_spec(), row_spec(),
+            ],
+            out_specs=pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(qp, cat3, cnt3, supp, *row_args)
+        xrow_spec = lambda: pl.BlockSpec((1, bq), lambda j, i: (0, i))
+        dcat3 = pl.pallas_call(
+            functools.partial(_bwd_dcat_kernel3, hb=hb, inv_tau=inv_tau),
+            grid=(n_j, bt_pad // bq),
+            in_specs=[
+                pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
+                pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
+                pl.BlockSpec((hb, bq, 128), lambda j, i: (j, i, 0)),
+                xrow_spec(), xrow_spec(), xrow_spec(), xrow_spec(),
+            ],
+            out_specs=pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_j * hb, 128, d_pad), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+        )(qp, cat3, cnt3, supp, *row_args)
+    dcat = dcat3.reshape(-1, d_pad)[:x, :d]
     return (
         dq[:bt, :d].astype(q2.dtype),
         dcat.astype(norm_catalog.dtype),
