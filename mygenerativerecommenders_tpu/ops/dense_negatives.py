@@ -111,6 +111,19 @@ def sampled_softmax_dense_neg_lse(
         r = neg_offsets.shape[-1]
         x = norm_catalog.shape[0]
         offs2 = neg_offsets.reshape(-1, r)
+        # sentinel-pad the bt rows BEFORE the count einsum so count3 is
+        # born at the kernels' bt tile width — a post-hoc jnp.pad of the
+        # [HB, BT, 128] array copies the whole buffer (~2.2 ms at ml-20m).
+        # The sentinel offset's hi digit is out of the one-hot iota range,
+        # so padded rows produce all-zero counts (exact).
+        bt = offs2.shape[0]
+        bq = dense_softmax.bt_tile(x)
+        bt_pad = ((bt + bq - 1) // bq) * bq
+        n_hi = (x + 127) // 128
+        if bt_pad != bt:
+            offs2 = jnp.pad(
+                offs2, ((0, bt_pad - bt), (0, 0)), constant_values=n_hi * 128
+            )
         # transposed-count kernels (any catalog size: large catalogs tile
         # over x-blocks in-kernel) skip the [BT, hi, lo] -> [BT, X]
         # relayout copies entirely (~8.8 ms/step at ml-20m's X=26744)

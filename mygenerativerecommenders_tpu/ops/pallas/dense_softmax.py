@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 _TINY = 1e-30
 _XB = 4096  # max catalog-axis tile (lanes); VMEM per tile ~ XB * 1.3 KB
+_BQ3 = 512  # bt tile of the transposed-count (count3) kernels
 
 
 def _round_up(x: int, m: int) -> int:
@@ -522,14 +523,35 @@ def _hb_blocks(n_lanes: int) -> tuple:
     return best[1], best[2]
 
 
+def bt_tile(x: int) -> int:
+    """bt-tile width of the transposed-count kernels for catalog size x.
+
+    Multi-x-block catalogs (n_j > 1) re-fetch the ~2 MB catalog block
+    every grid step, so a 128-row bt tile is DMA-bound (2.4 us fetch vs
+    ~1.3 us of MXU work at D=128); 512 rows quadruple the arithmetic
+    intensity for ~10 MB of VMEM working set (measured ml-20m 55 -> 54
+    ms/step). Single-block catalogs keep the whole catalog VMEM-resident
+    across the bt grid, where narrow tiles pipeline better (measured
+    ml-1m 11.1 vs 12.7 ms/step at 512).
+    """
+    n_hi = _round_up(x, 128) // 128
+    _, n_j = _hb_blocks(n_hi)
+    return _BQ3 if n_j > 1 else 128
+
+
 def _prep3(q2, norm_catalog, count3):
     bt, d = q2.shape
     x = norm_catalog.shape[0]
-    bq = 128
+    bq = bt_tile(x)
     bt_pad = _round_up(bt, bq)
     d_pad = _round_up(d, 128)
     n_hi = _round_up(x, 128) // 128
-    assert count3.shape == (n_hi, bt, 128), (count3.shape, n_hi, bt)
+    # count3 may arrive already bt-padded (sentinel-padded offsets before
+    # the count einsum — see sampled_softmax_dense_neg_lse); a post-hoc
+    # pad here would copy the whole buffer
+    assert count3.shape[0] == n_hi and count3.shape[1] in (bt, bt_pad), (
+        count3.shape, n_hi, bt, bt_pad,
+    )
     hb, n_j = _hb_blocks(n_hi)
     x_pad = n_j * hb * 128  # zero-padded slices count nothing: exact
     qp = jnp.pad(q2, ((0, bt_pad - bt), (0, d_pad - d)))
@@ -537,7 +559,8 @@ def _prep3(q2, norm_catalog, count3):
         norm_catalog, ((0, x_pad - x), (0, d_pad - d))
     ).reshape(n_j * hb, 128, d_pad)
     cnt3 = jnp.pad(
-        count3, ((0, n_j * hb - n_hi), (0, bt_pad - bt), (0, 0))
+        count3,
+        ((0, n_j * hb - n_hi), (0, bt_pad - count3.shape[1]), (0, 0)),
     )
     return qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j
 
@@ -583,6 +606,7 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
         scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,  # wide [BQ3, hb*128] tiles
         ),
     )(qp, cat3, cnt3, supp)
     return m[0, :bt], s[0, :bt]
@@ -631,6 +655,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
         )(qp, cat3, cnt3, supp, *row_args)
     else:
@@ -648,6 +673,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
         )(qp, cat3, cnt3, supp, *row_args)
         xrow_spec = lambda: pl.BlockSpec((1, bq), lambda j, i: (0, i))
@@ -665,6 +691,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
         )(qp, cat3, cnt3, supp, *row_args)
     dcat = dcat3.reshape(-1, d_pad)[:x, :d]

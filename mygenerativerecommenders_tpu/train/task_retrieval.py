@@ -85,16 +85,23 @@ def make_loss_fn(
         and cfg.model.sampler.kind == "local"
         and cfg.model.similarity.kind == "dot_product"
     )
-    # auto additionally gates on the [B*T, X] count/logit footprint: the
-    # dense path trades the per-sample gather/scatter for whole-catalog
-    # matmuls, a big win at ml-1m scale (X~4k) but O(BT*X) memory — past
-    # ~4e8 elements (~0.8 GB bf16 count + transient logit tiles) the
-    # per-sample path wins. Explicit true overrides the gate.
+    # auto additionally gates on the [B*T, X] count footprint: the dense
+    # path trades the per-sample gather/scatter for whole-catalog matmuls.
+    # With the fused Pallas kernels (u8 count, VMEM-resident logits) dense
+    # wins well past ml-20m scale — measured on v5e: X=26744 55 vs 73 ms,
+    # X=100k 96 vs 103 ms — so the gate is the ~2.7 GB u8 count buffer
+    # (~3e9 elements), past which HBM pressure (plus the shrinking margin)
+    # favors per-sample. The jnp fallback path materializes f32 count +
+    # [BT, X] logits, so it keeps the tighter 4e8 (~1.6 GB) gate.
+    # Explicit true overrides the gate.
+    from mygenerativerecommenders_tpu.models.model import _resolve_use_pallas
+
     bt_rows = cfg.data.batch_size * (
         cfg.data.max_sequence_length + cfg.model.gr_output_length + 1
     )
     x_pad = ((len(all_item_ids) + 127) // 128) * 128
-    fits = bt_rows * x_pad <= 4e8
+    pallas = _resolve_use_pallas(cfg.model.encoder.use_pallas)
+    fits = bt_rows * x_pad <= (3e9 if pallas else 4e8)
     use_dense_neg = applicable and (
         dense_neg in ("true", "1", "yes")
         or (dense_neg == "auto" and fits)
