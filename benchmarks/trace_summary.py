@@ -19,6 +19,14 @@ import xplane_pb2  # noqa: E402  (compiled from the public xplane schema)
 _ASYNC = ("copy-start", "slice-start", "copy-done", "slice-done", "-update")
 
 
+def _is_async(name: str) -> bool:
+    # match only the op-kind region (before the operand list) — operand
+    # names routinely contain "copy-done" and previously misclassified
+    # big sync ops (pallas custom-calls) as async
+    head = name.split("(", 1)[0]
+    return any(a in head for a in _ASYNC)
+
+
 def main():
     path = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -38,7 +46,7 @@ def main():
             if not by_name:
                 continue
             sync_total = sum(
-                ps for n, ps in by_name.items() if not any(a in n for a in _ASYNC)
+                ps for n, ps in by_name.items() if not _is_async(n)
             )
             print(
                 f"\n== {plane.name} / line '{line.name}': "
@@ -46,7 +54,7 @@ def main():
             )
             shown = 0
             for name, ps in by_name.most_common():
-                if any(a in name for a in _ASYNC):
+                if _is_async(name):
                     continue
                 print(f"{ps / 1e9:10.3f} ms  x{counts[name]:<5d} {name[:120]}")
                 shown += 1

@@ -63,28 +63,32 @@ def count_offsets(
     return count[..., :num_catalog]
 
 
-def count_offsets_t(offsets: jax.Array, num_catalog: int) -> jax.Array:
-    """count_offsets in einsum-native TRANSPOSED layout: [HB, BT, 128] with
-    out[h, i, l] = #{r : offsets[i, r] == h*128 + l}.
+def count_offsets_b(
+    offsets: jax.Array, num_catalog: int, num_hi: int | None = None
+) -> jax.Array:
+    """count_offsets in 3-D b-major layout: [BT, HI, 128] with
+    out[i, h, l] = #{r : offsets[i, r] == h*128 + l}.
 
-    offsets: [BT, R] int32. The [BT, hi, lo] -> [BT, X] flatten of the 2-D
-    variant is a sublane-retiling copy on TPU (~1.3 ms at ml-1m shapes);
-    emitting [hi, BT, lo] instead keeps (BT, lo) as the tiled dims — the
-    exact block layout ops/pallas/dense_softmax.py's _t kernels consume —
-    so only the dot's own output transpose remains for XLA to fuse.
+    offsets: [BT, R] int32. b-major IS the one-hot dot's native output
+    order, so XLA fuses the uint8 cast into the count fusion and never
+    materializes a transpose (the earlier [HI, BT, 128] layout cost a
+    2.2 GB relayout copy, ~3.3 ms/step at ml-20m). num_hi widens the hi
+    one-hot past ceil(X/128) so the consumer kernels' hi padding is baked
+    in (extra slices are all-zero: no offset maps there).
     """
-    num_hi = (num_catalog + _LO - 1) // _LO
+    if num_hi is None:
+        num_hi = (num_catalog + _LO - 1) // _LO
     hi = offsets // _LO
     lo = offsets % _LO
     h = (hi[..., None] == jnp.arange(num_hi, dtype=hi.dtype)).astype(jnp.bfloat16)
     low = (lo[..., None] == jnp.arange(_LO, dtype=lo.dtype)).astype(jnp.bfloat16)
     count = jnp.einsum(
-        "brh,brl->hbl", h, low, preferred_element_type=jnp.bfloat16
+        "brh,brl->bhl", h, low, preferred_element_type=jnp.bfloat16
     )
     if offsets.shape[-1] <= 255:
-        # counts <= R fit uint8: halves the HBM traffic of the transpose
-        # copy and of the kernels' two full reads (exact: bf16 holds
-        # integers <= 256 exactly, and the cast back to f32 is exact)
+        # counts <= R fit uint8: halves the HBM traffic of the kernels'
+        # full reads (exact: bf16 holds integers <= 256 exactly, and the
+        # cast back to f32 is exact)
         count = count.astype(jnp.uint8)
     return count
 
@@ -112,22 +116,24 @@ def sampled_softmax_dense_neg_lse(
         x = norm_catalog.shape[0]
         offs2 = neg_offsets.reshape(-1, r)
         # sentinel-pad the bt rows BEFORE the count einsum so count3 is
-        # born at the kernels' bt tile width — a post-hoc jnp.pad of the
-        # [HB, BT, 128] array copies the whole buffer (~2.2 ms at ml-20m).
-        # The sentinel offset's hi digit is out of the one-hot iota range,
-        # so padded rows produce all-zero counts (exact).
+        # born at the kernels' bt tile width — a post-hoc jnp.pad copies
+        # the whole buffer (~2.2 ms at ml-20m). The sentinel offset's hi
+        # digit is out of the widened one-hot iota range, so padded rows
+        # produce all-zero counts (exact). The hi axis is likewise born
+        # at the kernels' hb*n_j width.
         bt = offs2.shape[0]
         bq = dense_softmax.bt_tile(x)
         bt_pad = ((bt + bq - 1) // bq) * bq
-        n_hi = (x + 127) // 128
+        hb, n_j = dense_softmax.hi_blocks(x)
+        hi_pad = hb * n_j
         if bt_pad != bt:
             offs2 = jnp.pad(
-                offs2, ((0, bt_pad - bt), (0, 0)), constant_values=n_hi * 128
+                offs2, ((0, bt_pad - bt), (0, 0)), constant_values=hi_pad * 128
             )
-        # transposed-count kernels (any catalog size: large catalogs tile
-        # over x-blocks in-kernel) skip the [BT, hi, lo] -> [BT, X]
-        # relayout copies entirely (~8.8 ms/step at ml-20m's X=26744)
-        count3 = jax.lax.stop_gradient(count_offsets_t(offs2, x))
+        # 3-D count kernels (any catalog size: large catalogs tile over
+        # x-blocks in-kernel) skip the [BT, hi, lo] -> [BT, X] relayout
+        # copies entirely (~8.8 ms/step at ml-20m's X=26744)
+        count3 = jax.lax.stop_gradient(count_offsets_b(offs2, x, hi_pad))
         lse = dense_softmax.fused_dense_neg_lse_t(
             query.reshape(-1, query.shape[-1]),
             norm_catalog,

@@ -357,15 +357,17 @@ fused_dense_neg_lse.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau):
+def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau):
     """Block-wide (masked-live logits, cmask), both [BQ, hb*128].
 
     The [hb, 128, D] catalog block is LAYOUT-IDENTICAL to [hb*128, D]
     (both h-major, 128 sublane rows, D lanes), so the logits come from one
     wide MXU dot — the per-slice dot + online-carry form measured 7x
-    slower (serialized per-slice VPU reductions). Only the count needs
-    per-slice handling: [hb, BQ, 128] -> [BQ, hb*128] is a relayout, done
-    here as hb cheap lane-offset copies into VMEM scratch.
+    slower (serialized per-slice VPU reductions). The count block arrives
+    b-major [BQ, hb, 128] — the count einsum's NATIVE output order, which
+    kills the XLA-side [b,hi,lo]->[hi,b,lo] transpose (2.2 GB of HBM
+    traffic, ~3.3 ms/step at ml-20m) — and the row-major [BQ, hb*128]
+    flatten it needs here is a VMEM-local relayout.
     """
     q = q_ref[...].astype(jnp.float32)  # [BQ, D]
     cat = cat3_ref[...].reshape(hb * 128, cat3_ref.shape[2])  # free bitcast
@@ -376,12 +378,10 @@ def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau):
         )
         * inv_tau
     )  # [BQ, W]
-    for h in range(hb):  # static unroll: hb <= _XB // 128 = 32
-        cnt_scr[:, h * 128:(h + 1) * 128] = cnt3_ref[h]
-    cnt = cnt_scr[...]
+    cnt = cnt3_ref[...]
     if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
         cnt = cnt.astype(jnp.int32)
-    cnt = cnt.astype(jnp.float32)
+    cnt = cnt.astype(jnp.float32).reshape(cnt.shape[0], hb * 128)
     sup = sup_ref[0, :]
     x_global = j * hb * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
     cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
@@ -392,11 +392,10 @@ def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau):
 def _fwd_kernel3(
     q_ref,  # [BQ, D]
     cat3_ref,  # [HB, 128, D]
-    cnt3_ref,  # [HB, BQ, 128] bf16/u8
+    cnt3_ref,  # [BQ, HB, 128] bf16/u8 (b-major)
     sup_ref,  # [1, BQ] i32
     m_ref,  # out [1, BQ]
     s_ref,  # out [1, BQ]
-    cnt_scr,  # scratch [BQ, HB*128], cnt3 dtype
     *,
     hb: int,
     inv_tau: float,
@@ -404,7 +403,7 @@ def _fwd_kernel3(
 ):
     j = 0 if single else pl.program_id(1)
     al_live, cmask, _ = _wide_al_cmask(
-        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau
+        q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau
     )
     m_blk = jnp.max(al_live, axis=1)  # [BQ] (raw; -1e30 if block all-dead)
     if single:
@@ -424,11 +423,11 @@ def _fwd_kernel3(
     s_ref[0, :] = s_new
 
 
-def _wide_dal(q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref,
+def _wide_dal(q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref,
               gl_ref, j, hb, inv_tau):
     """(dal, q, cat) for one x-block: dal [BQ, hb*128] wide."""
     al_live, cmask, cat = _wide_al_cmask(
-        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, j, hb, inv_tau
+        q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau
     )
     m_safe = m_ref[0, :]
     s = s_ref[0, :]
@@ -444,7 +443,6 @@ def _bwd_kernel3(
     sup_ref, m_ref, s_ref, gl_ref,  # [1, BQ] rows
     dq_ref,  # out [BQ, D]
     dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid
-    cnt_scr,  # scratch [BQ, HB*128]
     *,
     hb: int,
     inv_tau: float,
@@ -452,7 +450,7 @@ def _bwd_kernel3(
     """Single-x-block backward: one pass produces both grads (dal shared)."""
     i = pl.program_id(0)
     dal, q, cat = _wide_dal(
-        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref, gl_ref,
+        q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
         0, hb, inv_tau,
     )
     dq_ref[...] = jax.lax.dot_general(
@@ -468,14 +466,13 @@ def _bwd_kernel3(
 def _bwd_dq_kernel3(
     q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
     dq_ref,  # out [BQ, D], accumulated over the x grid (inner dim)
-    cnt_scr,
     *,
     hb: int,
     inv_tau: float,
 ):
     j = pl.program_id(1)
     dal, _, cat = _wide_dal(
-        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref, gl_ref,
+        q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
         j, hb, inv_tau,
     )
     dq = jax.lax.dot_general(
@@ -487,7 +484,6 @@ def _bwd_dq_kernel3(
 def _bwd_dcat_kernel3(
     q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
     dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid (inner dim)
-    cnt_scr,
     *,
     hb: int,
     inv_tau: float,
@@ -495,7 +491,7 @@ def _bwd_dcat_kernel3(
     j = pl.program_id(0)  # x-block (outer); bt tiles run on the inner dim
     i = pl.program_id(1)
     dal, q, _ = _wide_dal(
-        q_ref, cat3_ref, cnt3_ref, cnt_scr, sup_ref, m_ref, s_ref, gl_ref,
+        q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
         j, hb, inv_tau,
     )
     contrib = jax.lax.dot_general(
@@ -508,12 +504,14 @@ def _hb_blocks(n_lanes: int) -> tuple:
     """(hb, n_j): hi-slices per x-block and number of x-blocks. hb maxes
     out at _XB//128; beyond that the catalog tiles over a second grid dim,
     choosing the hb with the least zero-slice padding (ties -> larger hb,
-    i.e. fewer blocks)."""
+    i.e. fewer blocks). Tiled hb must be a sublane multiple (8): the
+    b-major count block [BQ, hb, 128] carries hb on the sublane dim, and
+    Mosaic requires partial blocks there to be 8-divisible."""
     max_hb = _XB // 128
     if n_lanes <= max_hb:
         return n_lanes, 1
     best = None
-    for hb in range(max_hb, 0, -1):
+    for hb in range(max_hb, 0, -8):
         n_j = -(-n_lanes // hb)
         waste = hb * n_j - n_lanes
         if best is None or waste < best[0]:
@@ -521,6 +519,17 @@ def _hb_blocks(n_lanes: int) -> tuple:
         if waste == 0:
             break
     return best[1], best[2]
+
+
+def hi_blocks(x: int) -> tuple:
+    """(hb, n_j) x-block split for catalog size x (see _hb_blocks).
+
+    hi_pad = hb * n_j is the hi-digit count the transposed-count kernels
+    expect; callers that build the count tensor at this width (and
+    sentinel-pad offsets past hi_pad * 128) let _prep3 skip every pad
+    copy of the count buffer.
+    """
+    return _hb_blocks(_round_up(x, 128) // 128)
 
 
 def bt_tile(x: int) -> int:
@@ -546,13 +555,16 @@ def _prep3(q2, norm_catalog, count3):
     bt_pad = _round_up(bt, bq)
     d_pad = _round_up(d, 128)
     n_hi = _round_up(x, 128) // 128
-    # count3 may arrive already bt-padded (sentinel-padded offsets before
-    # the count einsum — see sampled_softmax_dense_neg_lse); a post-hoc
-    # pad here would copy the whole buffer
-    assert count3.shape[0] == n_hi and count3.shape[1] in (bt, bt_pad), (
-        count3.shape, n_hi, bt, bt_pad,
-    )
     hb, n_j = _hb_blocks(n_hi)
+    # count3 is b-major [BT, HI, 128] — the one-hot count einsum's native
+    # output order, so no physical transpose is ever materialized. The
+    # fast path (sampled_softmax_dense_neg_lse) builds it already padded
+    # on both axes (sentinel-padded offsets + hi-one-hot at hb*n_j width);
+    # a post-hoc pad here copies the whole buffer, so it only runs for
+    # direct callers on unpadded inputs (tests, ad-hoc use).
+    assert count3.shape[1] in (n_hi, hb * n_j) and count3.shape[0] in (
+        bt, bt_pad,
+    ), (count3.shape, n_hi, hb * n_j, bt, bt_pad)
     x_pad = n_j * hb * 128  # zero-padded slices count nothing: exact
     qp = jnp.pad(q2, ((0, bt_pad - bt), (0, d_pad - d)))
     cat3 = jnp.pad(
@@ -560,7 +572,11 @@ def _prep3(q2, norm_catalog, count3):
     ).reshape(n_j * hb, 128, d_pad)
     cnt3 = jnp.pad(
         count3,
-        ((0, n_j * hb - n_hi), (0, bt_pad - count3.shape[1]), (0, 0)),
+        (
+            (0, bt_pad - count3.shape[0]),
+            (0, n_j * hb - count3.shape[1]),
+            (0, 0),
+        ),
     )
     return qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j
 
@@ -569,8 +585,8 @@ def _prep3(q2, norm_catalog, count3):
 def fused_dense_neg_lse_t(q2, norm_catalog, count3, sup_off, temperature):
     """neg_lse [BT] — transposed-count fast path (any catalog size).
 
-    count3: [ceil(X/128), BT, 128] bf16/u8 multiplicities in einsum-native
-    layout (non-diff); see count_offsets_t. Same math as
+    count3: [BT, ceil(X/128), 128] bf16/u8 multiplicities, b-major
+    (einsum-native; non-diff) — see count_offsets_b. Same math as
     fused_dense_neg_lse, different operand layout; catalogs beyond one
     VMEM x-block tile over a second grid dimension with an online (m, s)
     carry.
@@ -592,7 +608,7 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
         in_specs=[
             pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
             pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((hb, bq, 128), lambda i, j: (j, i, 0)),
+            pl.BlockSpec((bq, hb, 128), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, bq), lambda i, j: (0, i)),
         ],
         out_specs=[
@@ -603,7 +619,6 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
             jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,  # wide [BQ3, hb*128] tiles
@@ -638,7 +653,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             in_specs=[
                 pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda i: (0, 0, 0)),
-                pl.BlockSpec((hb, bq, 128), lambda i: (0, i, 0)),
+                pl.BlockSpec((bq, hb, 128), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
@@ -652,7 +667,6 @@ def _vjp_bwd3(temperature, residuals, gl):
                 jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
                 jax.ShapeDtypeStruct((hb, 128, d_pad), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=64 * 1024 * 1024,
@@ -665,12 +679,11 @@ def _vjp_bwd3(temperature, residuals, gl):
             in_specs=[
                 pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
-                pl.BlockSpec((hb, bq, 128), lambda i, j: (j, i, 0)),
+                pl.BlockSpec((bq, hb, 128), lambda i, j: (i, j, 0)),
                 row_spec(), row_spec(), row_spec(), row_spec(),
             ],
             out_specs=pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=64 * 1024 * 1024,
@@ -683,12 +696,11 @@ def _vjp_bwd3(temperature, residuals, gl):
             in_specs=[
                 pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
-                pl.BlockSpec((hb, bq, 128), lambda j, i: (j, i, 0)),
+                pl.BlockSpec((bq, hb, 128), lambda j, i: (i, j, 0)),
                 xrow_spec(), xrow_spec(), xrow_spec(), xrow_spec(),
             ],
             out_specs=pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_j * hb, 128, d_pad), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((bq, hb * 128), cnt3.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=64 * 1024 * 1024,

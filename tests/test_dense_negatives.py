@@ -189,16 +189,18 @@ def test_dense_auto_gate_large_catalog(rng):
     assert fn_force.__name__ == "loss_fn_dense"
 
 
-def test_count_offsets_t_matches_2d(rng):
-    from mygenerativerecommenders_tpu.ops.dense_negatives import count_offsets_t
+def test_count_offsets_b_matches_2d(rng):
+    from mygenerativerecommenders_tpu.ops.dense_negatives import count_offsets_b
 
     x, bt, r = 300, 9, 32
     offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
     c2 = np.asarray(count_offsets(offs, x, keep_pad=True), dtype=np.float64)
-    c3 = np.asarray(count_offsets_t(offs, x), dtype=np.float64)  # [HB, BT, 128]
-    np.testing.assert_array_equal(
-        c3.transpose(1, 0, 2).reshape(bt, -1), c2
-    )
+    c3 = np.asarray(count_offsets_b(offs, x), dtype=np.float64)  # [BT, HB, 128]
+    np.testing.assert_array_equal(c3.reshape(bt, -1), c2)
+    # widened hi one-hot: extra slices all-zero, earlier slices unchanged
+    c4 = np.asarray(count_offsets_b(offs, x, 5), dtype=np.float64)
+    np.testing.assert_array_equal(c4[:, :3], c3)
+    assert (c4[:, 3:] == 0).all()
 
 
 def test_fused_tiled_path_matches_reference(rng, monkeypatch):
