@@ -366,11 +366,14 @@ def _dtw_from_dz(dz, ts_next, ts_key, num_buckets):
     """
     n_hi = (num_buckets + _DTW_LO) // _DTW_LO  # ceil((nb+1)/LO)
     delta = ts_next[:, 0, :, None] - ts_key[:, 0, None, :]  # [BH, NP, NP]
-    bucket = bucketize_timedelta(delta, num_buckets)
-    hi = bucket // _DTW_LO
-    lo = bucket % _DTW_LO
-    h = (hi[..., None] == jnp.arange(n_hi, dtype=jnp.int32)).astype(jnp.bfloat16)
-    low = (lo[..., None] == jnp.arange(_DTW_LO, dtype=jnp.int32)).astype(
+    # u8 indices: buckets <= 132, and the materialized [BH, NP, NP] index
+    # buffer (shared across all blocks' grad fusions) is re-read once per
+    # block — s32 cost 536 MB of reads per step at ml-20m, u8 a quarter
+    bucket = bucketize_timedelta(delta, num_buckets).astype(jnp.uint8)
+    hi = bucket // jnp.uint8(_DTW_LO)
+    lo = bucket % jnp.uint8(_DTW_LO)
+    h = (hi[..., None] == jnp.arange(n_hi, dtype=jnp.uint8)).astype(jnp.bfloat16)
+    low = (lo[..., None] == jnp.arange(_DTW_LO, dtype=jnp.uint8)).astype(
         jnp.bfloat16
     )
     dtw2 = jnp.einsum(
