@@ -64,6 +64,9 @@ class EncoderConfig:
     # sharded over an "sp" mesh axis of this many devices
     # (parallel/ring_attention.py); hstu only, overrides use_pallas
     sp_shards: int = 1
+    # zigzag (load-balanced) ring layout: device p holds the sequence
+    # chunk pair (p, 2P-1-p), halving per-step causal attention work
+    sp_zigzag: bool = False
     # sasrec only
     ffn_hidden_dim: int = 0
 

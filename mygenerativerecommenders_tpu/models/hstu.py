@@ -79,6 +79,9 @@ class HSTUBlock(nn.Module):
     # kernel is not offset-aware). See parallel/ring_attention.py.
     sp_shards: int = 1
     sp_mesh_axes: tuple = ("data", "sp")
+    # zigzag (load-balanced) sequence layout for the ring: device p holds
+    # the chunk pair (p, 2P-1-p), halving per-step causal attention work.
+    sp_zigzag: bool = False
 
     @nn.compact
     def __call__(
@@ -192,13 +195,12 @@ class HSTUBlock(nn.Module):
 
         from jax.sharding import PartitionSpec as P
 
-        from mygenerativerecommenders_tpu.parallel.ring_attention import (
-            ring_hstu_attention_local,
-        )
+        from mygenerativerecommenders_tpu.parallel import ring_attention as ra
 
         n = qh.shape[1]
         sp = self.sp_shards
-        n_pad = ((n + sp - 1) // sp) * sp
+        chunks = 2 * sp if self.sp_zigzag else sp
+        n_pad = ((n + chunks - 1) // chunks) * chunks
         pad = n_pad - n
         if pad:
             widths = ((0, 0), (0, pad), (0, 0), (0, 0))
@@ -208,9 +210,13 @@ class HSTUBlock(nn.Module):
             timestamps = jnp.pad(timestamps, ((0, 0), (0, pad)), mode="edge")
         dp, sp_name = self.sp_mesh_axes
         seq = P(dp, sp_name, None, None)
+        local = (
+            ra.ring_hstu_attention_zigzag_local if self.sp_zigzag
+            else ra.ring_hstu_attention_local
+        )
         fn = jax.shard_map(  # mesh=None: the trainer-set ambient mesh
             functools.partial(
-                ring_hstu_attention_local,
+                local,
                 # 1/n normalizer and pos-table center use the UNPADDED n
                 # (= max_attn_len in every real configuration)
                 max_len=self.max_attn_len,
@@ -221,6 +227,14 @@ class HSTUBlock(nn.Module):
             out_specs=seq,
             check_vma=False,
         )
+        if self.sp_zigzag:
+            # contiguous -> zigzag -> (ring) -> contiguous; numpy perms
+            # (device-array closure constants stall remote lowering)
+            perm = ra.zigzag_order(sp, n_pad)
+            inv = ra.inverse_permutation(perm)
+            zz = lambda x: jnp.take(x, perm, axis=1)
+            out = fn(zz(qh), zz(kh), zz(vh), zz(timestamps), pos_w, ts_w)
+            return jnp.take(out, inv, axis=1)[:, :n]
         return fn(qh, kh, vh, timestamps, pos_w, ts_w)[:, :n]
 
 
@@ -251,6 +265,9 @@ class HSTU(nn.Module):
     use_pallas: bool = False
     sp_shards: int = 1
     sp_mesh_axes: tuple = ("data", "sp")
+    # zigzag (load-balanced) sequence layout for the ring: device p holds
+    # the chunk pair (p, 2P-1-p), halving per-step causal attention work.
+    sp_zigzag: bool = False
 
     @nn.compact
     def __call__(
@@ -286,6 +303,7 @@ class HSTU(nn.Module):
                 use_pallas=self.use_pallas,
                 sp_shards=self.sp_shards,
                 sp_mesh_axes=self.sp_mesh_axes,
+                sp_zigzag=self.sp_zigzag,
                 name=f"block_{i}",
             )(x, timestamps, deterministic=deterministic)
         return x * mask

@@ -152,6 +152,7 @@ class GenerativeRecommender(nn.Module):
                     _resolve_use_pallas(enc.use_pallas) and enc.sp_shards <= 1
                 ),
                 sp_shards=enc.sp_shards,
+                sp_zigzag=enc.sp_zigzag,
             )
         elif enc.kind == "sasrec":
             from mygenerativerecommenders_tpu.models.sasrec import SASRec

@@ -127,18 +127,153 @@ def ring_hstu_attention_local(
     return acc.astype(v.dtype)
 
 
+def zigzag_order(num_shards: int, n: int):
+    """Permutation taking a contiguous sequence to zigzag layout.
+
+    The sequence splits into 2P chunks; device p of P holds the pair
+    (p, 2P-1-p) so every device sees the same causal work: early (mostly
+    masked-out) chunks pair with late (mostly live) ones. Returns int
+    indices `perm` with zigzag[i] = contiguous[perm[i]]; n must divide by
+    2 * num_shards.
+    """
+    import numpy as np
+
+    nh = n // (2 * num_shards)
+    assert nh * 2 * num_shards == n, (n, num_shards)
+    chunks = []
+    for p in range(num_shards):
+        chunks.append(np.arange(p * nh, (p + 1) * nh))
+        c2 = 2 * num_shards - 1 - p
+        chunks.append(np.arange(c2 * nh, (c2 + 1) * nh))
+    return np.concatenate(chunks)
+
+
+def inverse_permutation(perm):
+    import numpy as np
+
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return inv
+
+
+def ring_hstu_attention_zigzag_local(
+    q, k, v, timestamps, pos_w, ts_w, *, max_len, num_buckets, axis_name
+):
+    """Load-balanced (zigzag) ring body: inputs must be in zigzag layout
+    (see zigzag_order) — device p's local rows are the chunk pair
+    (front = chunk p, back = chunk 2P-1-p) of 2P global chunks.
+
+    Under the causal mask a contiguous ring computes every [Nl, Nl]
+    chunk product and throws most of early devices' work away; with the
+    zigzag pair each ring step has exactly two live half-blocks
+    (back-queries x front-keys always; front x front when the resident
+    pair originated at src <= p, back x back when src >= p), so the
+    per-step compute HALVES and stays identical across devices. The
+    skipped half-blocks are real skips (lax.cond), not masked compute.
+    Output is the local zigzag shard; same math as the contiguous ring.
+    """
+    p = jax.lax.axis_index(axis_name)
+    num_shards = jax.lax.psum(1, axis_name)
+    nl = q.shape[1]
+    nh = nl // 2  # rows per chunk; 2P chunks globally
+    fwd_perm = [(i, (i + 1) % num_shards) for i in range(num_shards)]
+
+    ts = timestamps.astype(jnp.int32)
+
+    # first timestamp of every global chunk, chunk-indexed [2P, B]:
+    # chunk c < P lives on device c (front half); chunk c >= P lives on
+    # device 2P-1-c (back half) — reversing the gathered back-halves
+    # lines them up.
+    firsts = jnp.stack([ts[:, 0], ts[:, nh]], axis=0)  # [2, B]
+    ag = jax.lax.all_gather(firsts, axis_name)  # [P, 2, B]
+    chunk_firsts = jnp.concatenate(
+        [ag[:, 0, :], ag[::-1, 1, :]], axis=0
+    )  # [2P, B]
+
+    # ext[n+1] per chunk: shift left; the last row of chunk c takes the
+    # first timestamp of chunk c+1, except the globally-last row (chunk
+    # 2P-1, i.e. this device's back half when p == 0), which repeats.
+    tail_f = jax.lax.dynamic_index_in_dim(
+        chunk_firsts, p + 1, axis=0, keepdims=False
+    )[:, None]  # [B, 1]
+    tail_b_idx = jnp.where(p == 0, 0, 2 * num_shards - p)  # dummy 0 at p=0
+    tail_b = jnp.where(
+        p == 0,
+        ts[:, -1:],
+        jax.lax.dynamic_index_in_dim(
+            chunk_firsts, tail_b_idx, axis=0, keepdims=False
+        )[:, None],
+    )
+    tsq_next = jnp.concatenate(
+        [ts[:, 1:nh], tail_f, ts[:, nh + 1:], tail_b], axis=1
+    )  # [B, Nl]
+
+    halves = lambda x: (x[:, :nh], x[:, nh:])
+    qf, qb = halves(q)
+    nf, nb = halves(tsq_next)
+    row_f = p * nh
+    row_b = (2 * num_shards - 1 - p) * nh
+
+    def contrib(qh, kc, vc, tsqn, tskc, row_off, col_off):
+        return _chunk_contribution(
+            qh, kc, vc, tsqn, tskc, row_off, col_off,
+            pos_w, ts_w, max_len, num_buckets,
+        )
+
+    def step(t, carry):
+        acc_f, acc_b, k_c, v_c, tsk_c = carry
+        s = (p - t) % num_shards
+        col_f = s * nh
+        col_b = (2 * num_shards - 1 - s) * nh
+        kcf, kcb = halves(k_c)
+        vcf, vcb = halves(v_c)
+        tf, tb = halves(tsk_c)
+        # back queries x front keys: always causally live
+        acc_b = acc_b + contrib(qb, kcf, vcf, nb, tf, row_b, col_f)
+        # front x front: live iff the resident front chunk s <= p
+        acc_f = acc_f + jax.lax.cond(
+            s <= p,
+            lambda: contrib(qf, kcf, vcf, nf, tf, row_f, col_f),
+            lambda: jnp.zeros_like(acc_f),
+        )
+        # back x back: live iff s >= p (s == p is the causal diagonal)
+        acc_b = acc_b + jax.lax.cond(
+            s >= p,
+            lambda: contrib(qb, kcb, vcb, nb, tb, row_b, col_b),
+            lambda: jnp.zeros_like(acc_b),
+        )
+        k_c, v_c, tsk_c = jax.lax.ppermute(
+            (k_c, v_c, tsk_c), axis_name, fwd_perm
+        )
+        return acc_f, acc_b, k_c, v_c, tsk_c
+
+    zero = jnp.zeros(qf.shape[:3] + (v.shape[-1],), dtype=jnp.float32)
+    acc_f, acc_b, *_ = jax.lax.fori_loop(
+        0, num_shards, step, (zero, zero, k, v, ts)
+    )
+    return jnp.concatenate([acc_f, acc_b], axis=1).astype(v.dtype)
+
+
 def make_ring_hstu_attention(
     mesh: Mesh, *, max_len: int, num_buckets: int, axis_name: str = "sp",
-    data_axis: str | None = "data",
+    data_axis: str | None = "data", zigzag: bool = False,
 ):
     """jit-ready ring attention over `mesh`: (q, k, v, ts, pos_w, ts_w) ->
     out, with the sequence dim sharded over `axis_name` (and, when
-    `data_axis` names a mesh axis, batch sharded over it)."""
+    `data_axis` names a mesh axis, batch sharded over it). zigzag=True
+    routes through the load-balanced body — inputs/outputs stay in
+    contiguous order (the wrapper permutes; GSPMD turns the static
+    permutation of a sequence-sharded array into the collective), and N
+    must divide by 2 * the sp axis size."""
     dp = data_axis if data_axis in mesh.axis_names else None
     seq = P(dp, axis_name)  # [B, N, ...]
+    local = (
+        ring_hstu_attention_zigzag_local if zigzag
+        else ring_hstu_attention_local
+    )
     fn = jax.shard_map(
         functools.partial(
-            ring_hstu_attention_local,
+            local,
             max_len=max_len, num_buckets=num_buckets, axis_name=axis_name,
         ),
         mesh=mesh,
@@ -148,4 +283,17 @@ def make_ring_hstu_attention(
         out_specs=seq,
         check_vma=False,
     )
-    return jax.jit(fn)
+    if not zigzag:
+        return jax.jit(fn)
+    num_shards = mesh.shape[axis_name]
+
+    def call(q, k, v, timestamps, pos_w, ts_w):
+        # numpy (not device) constants: closure device arrays are fetched
+        # host-side during lowering over remote backends (PERFORMANCE.md)
+        perm = zigzag_order(num_shards, q.shape[1])
+        inv = inverse_permutation(perm)
+        zz = lambda x: jnp.take(x, perm, axis=1)
+        out = fn(zz(q), zz(k), zz(v), zz(timestamps), pos_w, ts_w)
+        return jnp.take(out, inv, axis=1)
+
+    return jax.jit(call)

@@ -78,6 +78,48 @@ def test_ring_gradients_match(rng, mesh):
         )
 
 
+def test_zigzag_ring_matches_reference(rng, mesh):
+    """The load-balanced zigzag body is exact: value + every gradient
+    match the dense reference (and therefore the contiguous ring)."""
+    q, k, v, ts, pos_w, ts_w = _inputs(rng)
+    ring = make_ring_hstu_attention(
+        mesh, max_len=N, num_buckets=NUM_BUCKETS, zigzag=True
+    )
+    got = np.asarray(ring(q, k, v, ts, pos_w, ts_w))
+    want = np.asarray(_reference(q, k, v, ts, pos_w, ts_w))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def loss_ring(q, k, v, pos_w, ts_w):
+        return (ring(q, k, v, ts, pos_w, ts_w) ** 2).sum()
+
+    def loss_ref(q, k, v, pos_w, ts_w):
+        return (_reference(q, k, v, ts, pos_w, ts_w) ** 2).sum()
+
+    got_g = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, pos_w, ts_w
+    )
+    want_g = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, pos_w, ts_w
+    )
+    for g, w, name in zip(got_g, want_g, ["dq", "dk", "dv", "dpos_w", "dts_w"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_zigzag_layout_roundtrip():
+    from mygenerativerecommenders_tpu.parallel.ring_attention import (
+        inverse_permutation,
+        zigzag_order,
+    )
+
+    perm = zigzag_order(4, 32)
+    # device 0's pair: chunk 0 then chunk 7
+    np.testing.assert_array_equal(perm[:8], list(range(4)) + list(range(28, 32)))
+    inv = inverse_permutation(perm)
+    np.testing.assert_array_equal(perm[inv], np.arange(32))
+
+
 def test_ring_sp_only_mesh(rng):
     """Works on a pure-sp mesh (no data axis present)."""
     q, k, v, ts, pos_w, ts_w = _inputs(rng)
@@ -88,10 +130,12 @@ def test_ring_sp_only_mesh(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_full_model_sp_matches_single(rng):
-    """The flagship HSTU model with encoder.sp_shards=4 produces the same
-    encoded outputs (and loss/grads path through the same ring op) as the
-    unsharded model with identical params — on a (data=2, sp=4) mesh."""
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_full_model_sp_matches_single(rng, zigzag):
+    """The flagship HSTU model with encoder.sp_shards=4 (contiguous and
+    zigzag layouts) produces the same encoded outputs (and loss/grads
+    path through the same ring op) as the unsharded model with identical
+    params — on a (data=2, sp=4) mesh."""
     from mygenerativerecommenders_tpu.configs import Config, resolve
     from mygenerativerecommenders_tpu.models.model import build_model
     from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
@@ -103,6 +147,7 @@ def test_full_model_sp_matches_single(rng):
         cfg.model.item_embedding_dim = 16
         cfg.model.encoder.use_pallas = "false"
         cfg.model.encoder.sp_shards = sp
+        cfg.model.encoder.sp_zigzag = zigzag
         resolve(cfg, 60)
         return cfg, build_model(cfg)
 
