@@ -401,26 +401,19 @@ def _fwd_kernel3(
     inv_tau: float,
     single: bool,
 ):
-    j = 0 if single else pl.program_id(1)
+    # per-x-block partials, each output block written exactly ONCE: no
+    # carry, so the grid runs x-OUTER and Pallas fetches each catalog
+    # block a single time (the online-carry form needed x inner and
+    # re-fetched the catalog once per bt tile — ~750 MB/step at ml-20m).
+    # The tiny [n_j, BT] partials combine in jnp afterwards.
+    j = 0 if single else pl.program_id(0)
     al_live, cmask, _ = _wide_al_cmask(
         q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau
     )
     m_blk = jnp.max(al_live, axis=1)  # [BQ] (raw; -1e30 if block all-dead)
-    if single:
-        m_safe = jnp.where(m_blk > 0.5 * _NEG_INF, m_blk, 0.0)
-        m_ref[0, :] = m_blk
-        s_ref[0, :] = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
-        return
-    # carry across x-blocks; first visit's output reads are discarded
-    m_prev = jnp.where(j == 0, jnp.full_like(m_blk, _NEG_INF), m_ref[0, :])
-    s_prev = jnp.where(j == 0, jnp.zeros_like(m_blk), s_ref[0, :])
-    m_new = jnp.maximum(m_prev, m_blk)
-    m_safe = jnp.where(m_new > 0.5 * _NEG_INF, m_new, 0.0)
-    s_blk = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
-    m_prev_safe = jnp.where(m_prev > 0.5 * _NEG_INF, m_prev, 0.0)
-    s_new = s_prev * jnp.exp(m_prev_safe - m_safe) + s_blk
-    m_ref[0, :] = m_new
-    s_ref[0, :] = s_new
+    m_safe = jnp.where(m_blk > 0.5 * _NEG_INF, m_blk, 0.0)
+    m_ref[0, 0, :] = m_blk
+    s_ref[0, 0, :] = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
 
 
 def _wide_dal(q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref,
@@ -600,31 +593,39 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
         q2, norm_catalog, count3
     )
     supp = _sup_padded(sup_off, bt, bt_pad)
-    m, s = pl.pallas_call(
+    m_p, s_p = pl.pallas_call(
         functools.partial(
             _fwd_kernel3, hb=hb, inv_tau=1.0 / temperature, single=(n_j == 1)
         ),
-        grid=(bt_pad // bq, n_j),
+        grid=(n_j, bt_pad // bq),
         in_specs=[
-            pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((bq, hb, 128), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
+            pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
+            pl.BlockSpec((bq, hb, 128), lambda j, i: (i, j, 0)),
+            pl.BlockSpec((1, bq), lambda j, i: (0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
-            pl.BlockSpec((1, bq), lambda i, j: (0, i)),
+            pl.BlockSpec((1, 1, bq), lambda j, i: (j, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda j, i: (j, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, bt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, 1, bt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_j, 1, bt_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,  # wide [BQ3, hb*128] tiles
         ),
     )(qp, cat3, cnt3, supp)
-    return m[0, :bt], s[0, :bt]
+    m_p, s_p = m_p[:, 0, :], s_p[:, 0, :]
+    if n_j == 1:
+        return m_p[0, :bt], s_p[0, :bt]
+    # combine the per-x-block partials (tiny [n_j, BT] arrays)
+    m = jnp.max(m_p, axis=0)
+    m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
+    m_p_safe = jnp.where(m_p > 0.5 * _NEG_INF, m_p, 0.0)
+    s = jnp.sum(s_p * jnp.exp(m_p_safe - m_safe[None, :]), axis=0)
+    return m[:bt], s[:bt]
 
 
 def _vjp_fwd3(q2, norm_catalog, count3, sup_off, temperature):
