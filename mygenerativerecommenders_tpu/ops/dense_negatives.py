@@ -134,11 +134,22 @@ def sampled_softmax_dense_neg_lse(
         # x-blocks in-kernel) skip the [BT, hi, lo] -> [BT, X] relayout
         # copies entirely (~8.8 ms/step at ml-20m's X=26744)
         count3 = jax.lax.stop_gradient(count_offsets_b(offs2, x, hi_pad))
+        # fold the accidental-hit mask into the count fusion (XLA fuses
+        # the elementwise epilogue): the fwd + both bwd kernels then skip
+        # their per-tile iota/compare/select passes — the kernels are
+        # VPU-elementwise-bound, so 2 fewer passes x3 kernels is real
+        sup = positive_offsets.reshape(-1).astype(jnp.int32)
+        if bt_pad != bt:
+            sup = jnp.pad(sup, (0, bt_pad - bt), constant_values=-1)
+        x_of_lane = (
+            jnp.arange(hi_pad, dtype=jnp.int32)[None, :, None] * 128
+            + jnp.arange(128, dtype=jnp.int32)[None, None, :]
+        )
+        count3 = count3 * (x_of_lane != sup[:, None, None]).astype(count3.dtype)
         lse = dense_softmax.fused_dense_neg_lse_t(
             query.reshape(-1, query.shape[-1]),
             norm_catalog,
             count3,
-            positive_offsets.reshape(-1),
             temperature,
         )
         return lse.reshape(lead)

@@ -357,7 +357,7 @@ fused_dense_neg_lse.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau):
+def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, j, hb, inv_tau):
     """Block-wide (masked-live logits, cmask), both [BQ, hb*128].
 
     The [hb, 128, D] catalog block is LAYOUT-IDENTICAL to [hb*128, D]
@@ -378,13 +378,14 @@ def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau):
         )
         * inv_tau
     )  # [BQ, W]
-    cnt = cnt3_ref[...]
+    # relayout [BQ, hb, 128] -> [BQ, hb*128] while still u8 (4x less
+    # VMEM shuffle traffic than after the f32 conversion)
+    cnt = cnt3_ref[...].reshape(cnt3_ref.shape[0], hb * 128)
     if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
         cnt = cnt.astype(jnp.int32)
-    cnt = cnt.astype(jnp.float32).reshape(cnt.shape[0], hb * 128)
-    sup = sup_ref[0, :]
-    x_global = j * hb * 128 + jax.lax.broadcasted_iota(jnp.int32, al.shape, 1)
-    cmask = jnp.where(x_global == sup[:, None], 0.0, cnt)
+    # accidental-hit masking already happened at count-build time (the
+    # caller folds it into the count fusion), so cmask IS the count
+    cmask = cnt.astype(jnp.float32)
     al_live = jnp.where(cmask > 0, al, _NEG_INF)
     return al_live, cmask, cat
 
@@ -392,10 +393,9 @@ def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau):
 def _fwd_kernel3(
     q_ref,  # [BQ, D]
     cat3_ref,  # [HB, 128, D]
-    cnt3_ref,  # [BQ, HB, 128] bf16/u8 (b-major)
-    sup_ref,  # [1, BQ] i32
-    m_ref,  # out [1, BQ]
-    s_ref,  # out [1, BQ]
+    cnt3_ref,  # [BQ, HB, 128] bf16/u8 (b-major; hit-masked at build)
+    m_ref,  # out [1, 1, BQ]
+    s_ref,  # out [1, 1, BQ]
     *,
     hb: int,
     inv_tau: float,
@@ -408,7 +408,7 @@ def _fwd_kernel3(
     # The tiny [n_j, BT] partials combine in jnp afterwards.
     j = 0 if single else pl.program_id(0)
     al_live, cmask, _ = _wide_al_cmask(
-        q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau
+        q_ref, cat3_ref, cnt3_ref, j, hb, inv_tau
     )
     m_blk = jnp.max(al_live, axis=1)  # [BQ] (raw; -1e30 if block all-dead)
     m_safe = jnp.where(m_blk > 0.5 * _NEG_INF, m_blk, 0.0)
@@ -416,11 +416,11 @@ def _fwd_kernel3(
     s_ref[0, 0, :] = jnp.sum(cmask * jnp.exp(al_live - m_safe[:, None]), axis=1)
 
 
-def _wide_dal(q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref,
+def _wide_dal(q_ref, cat3_ref, cnt3_ref, m_ref, s_ref,
               gl_ref, j, hb, inv_tau):
     """(dal, q, cat) for one x-block: dal [BQ, hb*128] wide."""
     al_live, cmask, cat = _wide_al_cmask(
-        q_ref, cat3_ref, cnt3_ref, sup_ref, j, hb, inv_tau
+        q_ref, cat3_ref, cnt3_ref, j, hb, inv_tau
     )
     m_safe = m_ref[0, :]
     s = s_ref[0, :]
@@ -432,8 +432,8 @@ def _wide_dal(q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref,
 def _bwd_kernel3(
     q_ref,  # [BQ, D]
     cat3_ref,  # [HB, 128, D]
-    cnt3_ref,  # [HB, BQ, 128]
-    sup_ref, m_ref, s_ref, gl_ref,  # [1, BQ] rows
+    cnt3_ref,  # [BQ, HB, 128]
+    m_ref, s_ref, gl_ref,  # [1, BQ] rows
     dq_ref,  # out [BQ, D]
     dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid
     *,
@@ -443,7 +443,7 @@ def _bwd_kernel3(
     """Single-x-block backward: one pass produces both grads (dal shared)."""
     i = pl.program_id(0)
     dal, q, cat = _wide_dal(
-        q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+        q_ref, cat3_ref, cnt3_ref, m_ref, s_ref, gl_ref,
         0, hb, inv_tau,
     )
     dq_ref[...] = jax.lax.dot_general(
@@ -457,7 +457,7 @@ def _bwd_kernel3(
 
 
 def _bwd_dq_kernel3(
-    q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+    q_ref, cat3_ref, cnt3_ref, m_ref, s_ref, gl_ref,
     dq_ref,  # out [BQ, D], accumulated over the x grid (inner dim)
     *,
     hb: int,
@@ -465,7 +465,7 @@ def _bwd_dq_kernel3(
 ):
     j = pl.program_id(1)
     dal, _, cat = _wide_dal(
-        q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+        q_ref, cat3_ref, cnt3_ref, m_ref, s_ref, gl_ref,
         j, hb, inv_tau,
     )
     dq = jax.lax.dot_general(
@@ -475,7 +475,7 @@ def _bwd_dq_kernel3(
 
 
 def _bwd_dcat_kernel3(
-    q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+    q_ref, cat3_ref, cnt3_ref, m_ref, s_ref, gl_ref,
     dcat3_ref,  # out [HB, 128, D], accumulated over the bt grid (inner dim)
     *,
     hb: int,
@@ -484,7 +484,7 @@ def _bwd_dcat_kernel3(
     j = pl.program_id(0)  # x-block (outer); bt tiles run on the inner dim
     i = pl.program_id(1)
     dal, q, _ = _wide_dal(
-        q_ref, cat3_ref, cnt3_ref, sup_ref, m_ref, s_ref, gl_ref,
+        q_ref, cat3_ref, cnt3_ref, m_ref, s_ref, gl_ref,
         j, hb, inv_tau,
     )
     contrib = jax.lax.dot_general(
@@ -574,25 +574,26 @@ def _prep3(q2, norm_catalog, count3):
     return qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def fused_dense_neg_lse_t(q2, norm_catalog, count3, sup_off, temperature):
-    """neg_lse [BT] — transposed-count fast path (any catalog size).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_dense_neg_lse_t(q2, norm_catalog, count3, temperature):
+    """neg_lse [BT] — 3-D-count fast path (any catalog size).
 
     count3: [BT, ceil(X/128), 128] bf16/u8 multiplicities, b-major
-    (einsum-native; non-diff) — see count_offsets_b. Same math as
+    (einsum-native; non-diff) with the accidental-hit mask ALREADY
+    APPLIED (zero the positive's lane at count-build time) — see
+    count_offsets_b and sampled_softmax_dense_neg_lse. Same math as
     fused_dense_neg_lse, different operand layout; catalogs beyond one
-    VMEM x-block tile over a second grid dimension with an online (m, s)
-    carry.
+    VMEM x-block tile over a second grid dimension as per-block
+    partials combined in jnp.
     """
-    m, s = _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature)
+    m, s = _fused_fwd3(q2, norm_catalog, count3, temperature)
     return _lse_from_ms(m, s)
 
 
-def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
+def _fused_fwd3(q2, norm_catalog, count3, temperature):
     qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j = _prep3(
         q2, norm_catalog, count3
     )
-    supp = _sup_padded(sup_off, bt, bt_pad)
     m_p, s_p = pl.pallas_call(
         functools.partial(
             _fwd_kernel3, hb=hb, inv_tau=1.0 / temperature, single=(n_j == 1)
@@ -602,7 +603,6 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
             pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
             pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
             pl.BlockSpec((bq, hb, 128), lambda j, i: (i, j, 0)),
-            pl.BlockSpec((1, bq), lambda j, i: (0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq), lambda j, i: (j, 0, i)),
@@ -616,7 +616,7 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=64 * 1024 * 1024,  # wide [BQ3, hb*128] tiles
         ),
-    )(qp, cat3, cnt3, supp)
+    )(qp, cat3, cnt3)
     m_p, s_p = m_p[:, 0, :], s_p[:, 0, :]
     if n_j == 1:
         return m_p[0, :bt], s_p[0, :bt]
@@ -628,17 +628,16 @@ def _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature):
     return m[:bt], s[:bt]
 
 
-def _vjp_fwd3(q2, norm_catalog, count3, sup_off, temperature):
-    m, s = _fused_fwd3(q2, norm_catalog, count3, sup_off, temperature)
-    return _lse_from_ms(m, s), (q2, norm_catalog, count3, sup_off, m, s)
+def _vjp_fwd3(q2, norm_catalog, count3, temperature):
+    m, s = _fused_fwd3(q2, norm_catalog, count3, temperature)
+    return _lse_from_ms(m, s), (q2, norm_catalog, count3, m, s)
 
 
 def _vjp_bwd3(temperature, residuals, gl):
-    q2, norm_catalog, count3, sup_off, m, s = residuals
+    q2, norm_catalog, count3, m, s = residuals
     qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j = _prep3(
         q2, norm_catalog, count3
     )
-    supp = _sup_padded(sup_off, bt, bt_pad)
     m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
     pad1 = lambda a: jnp.pad(a.astype(jnp.float32), (0, bt_pad - bt))[None, :]
     gl_clean = jnp.where(s > 0, gl, 0.0)
@@ -658,7 +657,6 @@ def _vjp_bwd3(temperature, residuals, gl):
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
-                pl.BlockSpec((1, bq), lambda i: (0, i)),
             ],
             out_specs=[
                 pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
@@ -672,7 +670,7 @@ def _vjp_bwd3(temperature, residuals, gl):
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(qp, cat3, cnt3, supp, *row_args)
+        )(qp, cat3, cnt3, *row_args)
     else:
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel3, hb=hb, inv_tau=inv_tau),
@@ -681,7 +679,7 @@ def _vjp_bwd3(temperature, residuals, gl):
                 pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
                 pl.BlockSpec((bq, hb, 128), lambda i, j: (i, j, 0)),
-                row_spec(), row_spec(), row_spec(), row_spec(),
+                row_spec(), row_spec(), row_spec(),
             ],
             out_specs=pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((bt_pad, d_pad), jnp.float32),
@@ -689,7 +687,7 @@ def _vjp_bwd3(temperature, residuals, gl):
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(qp, cat3, cnt3, supp, *row_args)
+        )(qp, cat3, cnt3, *row_args)
         xrow_spec = lambda: pl.BlockSpec((1, bq), lambda j, i: (0, i))
         dcat3 = pl.pallas_call(
             functools.partial(_bwd_dcat_kernel3, hb=hb, inv_tau=inv_tau),
@@ -698,7 +696,7 @@ def _vjp_bwd3(temperature, residuals, gl):
                 pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
                 pl.BlockSpec((bq, hb, 128), lambda j, i: (i, j, 0)),
-                xrow_spec(), xrow_spec(), xrow_spec(), xrow_spec(),
+                xrow_spec(), xrow_spec(), xrow_spec(),
             ],
             out_specs=pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((n_j * hb, 128, d_pad), jnp.float32),
@@ -706,13 +704,12 @@ def _vjp_bwd3(temperature, residuals, gl):
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(qp, cat3, cnt3, supp, *row_args)
+        )(qp, cat3, cnt3, *row_args)
     dcat = dcat3.reshape(-1, d_pad)[:x, :d]
     return (
         dq[:bt, :d].astype(q2.dtype),
         dcat.astype(norm_catalog.dtype),
         None,  # count3
-        None,  # sup_off
     )
 
 
