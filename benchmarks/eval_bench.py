@@ -1,8 +1,9 @@
 """Retrieval/serving benchmarks: eval-step QPS and top-k MIPS QPS.
 
 Usage: python benchmarks/eval_bench.py [num_items]
-Prints JSON lines for: full eval step (forward + filtered top-k), raw
-MIPS top-k over the catalog, and one incremental decode step.
+Prints JSON lines for: full eval step (forward + filtered top-k) and
+raw MIPS top-k over the catalog. (Decode-step latency is benchmarked
+by tests/test_decode.py's timing and the serving service.)
 """
 
 from __future__ import annotations
