@@ -44,7 +44,7 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def bench_ours(batch, steps=30, warmup=5):
+def bench_ours(batch, calls=4, steps_per_call=8, warmup=2):
     import jax
 
     from mygenerativerecommenders_tpu.configs import resolve
@@ -63,20 +63,26 @@ def bench_ours(batch, steps=30, warmup=5):
     all_item_ids = np.arange(1, cfg.data.expected_max_item_id + 1, dtype=np.int32)
     tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
     opt_state = jax.jit(tx.init)(params)
-    train_step = make_train_step(model, cfg, all_item_ids)
+    # the production train path (trainer.steps_per_call): k optimizer
+    # steps per device dispatch via lax.scan — amortizes the per-call
+    # host/tunnel overhead (~1.7 ms/step measured on the axon tunnel)
+    k = steps_per_call
+    train_step = make_train_step(model, cfg, all_item_ids, steps=k)
 
-    dev_batch = jax.device_put(batch)
+    stacked = {key: np.stack([v] * k) for key, v in batch.items()}
+    dev_batch = jax.device_put(stacked)
     lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
-    _log("compiling + warmup")
+    _log(f"compiling + warmup ({k} steps/call)")
     for i in range(warmup):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
-    _log(f"warmup loss {float(loss):.4f}")  # host pull guarantees the chain
+    _log(f"warmup loss {float(loss[-1]):.4f}")  # host pull guarantees the chain
     # completed (the tunnel's block_until_ready has been seen to return early)
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(calls):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
-    final = float(loss)
+    final = float(loss[-1])
     dt = time.perf_counter() - t0
+    steps = calls * k
     _log(f"timed {steps} steps in {dt:.3f}s (final loss {final:.4f})")
     b = batch["lengths"].shape[0]
     return b * steps / dt

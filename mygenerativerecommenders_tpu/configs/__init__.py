@@ -218,6 +218,13 @@ class TrainerConfig:
     # host->device pipeline depth: batches resident on device ahead of
     # the step consuming them (2 = classic double buffering; 0/1 = off)
     prefetch: int = 2
+    # train steps fused into one device call (lax.scan over stacked
+    # batches): amortizes per-step host dispatch overhead, which
+    # dominates once the step itself is a few ms. 1 = one call per step.
+    # The per-step RNG stream depends on this value (keys are split per
+    # call, then per step), so runs are reproducible only at a fixed
+    # steps_per_call.
+    steps_per_call: int = 1
 
 
 @dataclass

@@ -46,6 +46,10 @@ def ml_1m_hstu() -> Config:
     cfg.data.batch_size = 128
     cfg.trainer.max_epochs = 500
     cfg.trainer.min_epochs = 10
+    # 8 optimizer steps per device dispatch (lax.scan): the ml-1m step is
+    # ~10 ms on a v5e chip, where per-call host overhead would otherwise
+    # cost ~15%
+    cfg.trainer.steps_per_call = 8
     return cfg
 
 

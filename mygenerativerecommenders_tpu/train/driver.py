@@ -86,6 +86,8 @@ class Trainer:
             # ambient mesh. Global setter; close() restores (tests rely on it).
             self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        # [steps, batch, ...] stacks for the fused multi-step train call
+        self.stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
         self.replicated = NamedSharding(self.mesh, P())
         self._table_sharded = model_axis > 1
 
@@ -132,6 +134,7 @@ class Trainer:
         self.opt_state = jax.device_put(self.opt_state, self.replicated)
 
         # --- steps
+        self._multi_step_cache: Dict[int, Any] = {}
         self.task = cfg.model.task
         if self.task == "retrieval":
             self.train_step = task_retrieval.make_train_step(
@@ -261,6 +264,54 @@ class Trainer:
         while queue:
             yield queue.popleft()
 
+    def _put_stacked(self, stacked: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(self.stacked_sharding, v)
+                for k, v in stacked.items()
+            }
+        return jax.device_put(stacked, self.stacked_sharding)
+
+    def _stacked_batches(self, loader: BatchLoader, limit: int, k: int):
+        """Yield (host_batches, device_batch, n_steps) where n_steps == k
+        means device_batch is a [k, B, ...] stack for the scanned
+        multi-step call, and n_steps == 1 is a plain single batch (the
+        epoch remainder). H2D transfers are double-buffered like
+        _batches."""
+        from collections import deque
+
+        depth = max(int(self.cfg.trainer.prefetch), 1)
+        queue = deque()
+        chunk = []
+        for i, batch in enumerate(loader):
+            if i >= limit:
+                break
+            chunk.append(batch)
+            if len(chunk) == k:
+                stacked = {key: np.stack([b[key] for b in chunk]) for key in chunk[0]}
+                queue.append((chunk, self._put_stacked(stacked), k))
+                chunk = []
+            while len(queue) >= depth:
+                yield queue.popleft()
+        for b in chunk:
+            queue.append(([b], self._put(b), 1))
+        while queue:
+            yield queue.popleft()
+
+    def _multi_train_step(self, k: int):
+        """The k-step scanned train step (compiled lazily, cached per k)."""
+        if k not in self._multi_step_cache:
+            if self.task == "retrieval":
+                fn = task_retrieval.make_train_step(
+                    self.model, self.cfg, self.all_item_ids, steps=k
+                )
+            else:
+                from mygenerativerecommenders_tpu.train import task_ranking
+
+                fn = task_ranking.make_train_step(self.model, self.cfg, steps=k)
+            self._multi_step_cache[k] = fn
+        return self._multi_step_cache[k]
+
     def _loader(self, split: str) -> BatchLoader:
         """Split loader sharded by process (multi-host data parallelism)."""
         return self.data.loader(
@@ -309,6 +360,12 @@ class Trainer:
         elif t_cfg.limit_train_batches < 1.0:
             limit = max(1, int(len(loader) * t_cfg.limit_train_batches))
 
+        k = max(int(t_cfg.steps_per_call), 1)
+        if t_cfg.profiler:
+            k = 1  # per-step trace boundaries need one dispatch per step
+        if k > 1:
+            return self._train_epoch_multi(loader, limit, k)
+
         losses = []
         start = time.time()
         examples = 0
@@ -346,6 +403,45 @@ class Trainer:
             f"({examples / max(dt, 1e-9):.0f} ex/s)"
         )
         return losses[-1]
+
+    def _train_epoch_multi(self, loader: BatchLoader, limit: int, k: int) -> float:
+        """Epoch loop with k optimizer steps fused per device call
+        (trainer.steps_per_call). The epoch remainder (limit % k batches)
+        runs through the plain single-step path. Loss logging keeps the
+        log_every_n_steps cadence, pulling the call's loss vector only
+        when a boundary falls inside it (a D2H sync otherwise breaks the
+        dispatch pipeline)."""
+        t_cfg = self.cfg.trainer
+        multi_step = self._multi_train_step(k)
+        log_n = t_cfg.log_every_n_steps
+        start = time.time()
+        examples = 0
+        out = None
+        for host_batches, dev_batch, n_steps in self._stacked_batches(loader, limit, k):
+            self.rng, call_rng = jax.random.split(self.rng)
+            step_fn = multi_step if n_steps == k else self.train_step
+            out = step_fn(
+                self.params, self.opt_state, dev_batch, call_rng,
+                self.lr1, self.lr2,
+            )
+            self.params, self.opt_state = out.params, out.opt_state
+            prev = self.global_step
+            self.global_step += n_steps
+            examples += sum(int(b["sample_weight"].sum()) for b in host_batches)
+            if prev // log_n != self.global_step // log_n:
+                loss_val = float(np.asarray(out.loss).reshape(-1)[-1])
+                self.writer.log(
+                    {"train/loss": loss_val, "lr1": self.lr1, "lr2": self.lr2},
+                    self.global_step,
+                    self.epoch,
+                )
+        final = float(np.asarray(out.loss).reshape(-1)[-1])
+        dt = time.time() - start
+        log.info(
+            f"epoch {self.epoch}: train loss {final:.4f} "
+            f"({examples / max(dt, 1e-9):.0f} ex/s, {k} steps/call)"
+        )
+        return final
 
     # ------------------------------------------------------------------
     def eval_epoch(self, loader: BatchLoader, prefix: str = "val") -> Dict[str, float]:

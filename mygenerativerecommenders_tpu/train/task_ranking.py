@@ -9,7 +9,6 @@
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict
 
 import jax
@@ -23,10 +22,10 @@ from mygenerativerecommenders_tpu.ops.sequence import (
     get_current_embeddings,
     scatter_at_lengths,
 )
-from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
 from mygenerativerecommenders_tpu.train.task_retrieval import (
     TrainStepOutput,
     make_sampler,
+    train_step_from_loss,
 )
 from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
 
@@ -67,19 +66,11 @@ def make_loss_fn(model: GenerativeRecommender, cfg: Config) -> Callable:
     return loss_fn
 
 
-def make_train_step(model: GenerativeRecommender, cfg: Config) -> Callable:
+def make_train_step(
+    model: GenerativeRecommender, cfg: Config, steps: int = 1
+) -> Callable:
     loss_fn = make_loss_fn(model, cfg)
-    opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng, lr1, lr2):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        tx = build_optimizer(cfg.optimizer1, opt2, params, lr1, lr2)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return TrainStepOutput(new_params, new_opt_state, loss)
-
-    return train_step
+    return train_step_from_loss(loss_fn, cfg, steps)
 
 
 def make_eval_step(model: GenerativeRecommender, cfg: Config) -> Callable:

@@ -237,24 +237,61 @@ def make_loss_fn(
     return loss_fn
 
 
+def train_step_from_loss(loss_fn: Callable, cfg: Config, steps: int = 1) -> Callable:
+    """Wrap loss_fn(params, batch, rng) into a donate-jitted optimizer step.
+
+    steps=1: train_step(params, opt_state, batch, rng, lr1, lr2) with a
+    scalar loss. steps>1: the batch argument carries a leading [steps]
+    axis and the optimizer steps run inside one lax.scan — a single
+    device dispatch per `steps` optimizer updates, which amortizes the
+    per-call host/runtime overhead (the reference has no analog; its
+    per-step Python loop is hidden behind CUDA's ~µs launch latency,
+    while a remote TPU runtime pays ~ms per call). The per-step rng is
+    jax.random.split(rng, steps)[i]; loss comes back as a [steps] array.
+    """
+    opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
+
+    def one_step(params, opt_state, batch, step_rng, lr1, lr2):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_rng)
+        tx = build_optimizer(cfg.optimizer1, opt2, params, lr1, lr2)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return new_params, new_opt_state, loss
+
+    if steps <= 1:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng, lr1, lr2):
+            return TrainStepOutput(*one_step(params, opt_state, batch, rng, lr1, lr2))
+
+        return train_step
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_steps(params, opt_state, batches, rng, lr1, lr2):
+        rngs = jax.random.split(rng, steps)
+
+        def body(carry, xs):
+            batch, step_rng = xs
+            p, o, loss = one_step(carry[0], carry[1], batch, step_rng, lr1, lr2)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, rngs)
+        )
+        return TrainStepOutput(params, opt_state, losses)
+
+    return train_steps
+
+
 def make_train_step(
     model: GenerativeRecommender,
     cfg: Config,
     all_item_ids: np.ndarray,
+    steps: int = 1,
 ) -> Callable:
     """train_step(params, opt_state, batch, rng, lr1, lr2) -> TrainStepOutput."""
     loss_fn = make_loss_fn(model, cfg, all_item_ids)
-    opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng, lr1, lr2):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-        tx = build_optimizer(cfg.optimizer1, opt2, params, lr1, lr2)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return TrainStepOutput(new_params, new_opt_state, loss)
-
-    return train_step
+    return train_step_from_loss(loss_fn, cfg, steps)
 
 
 def make_candidate_fn(
