@@ -47,6 +47,10 @@ def _log(msg):
 def bench_ours(batch, calls=4, steps_per_call=8, warmup=2):
     import jax
 
+    from mygenerativerecommenders_tpu.train.driver import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/mygenerativerecommenders_tpu/xla")
+
     from mygenerativerecommenders_tpu.configs import resolve
     from mygenerativerecommenders_tpu.configs.presets import get_preset
     from mygenerativerecommenders_tpu.models.model import build_model

@@ -63,9 +63,24 @@ def make_mesh(num_devices: int = 0, model_axis: int = 1, sp_axis: int = 1) -> Me
     return Mesh(arr, axis_names=tuple(["data"] + names))
 
 
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Persistent XLA executable cache (jax_compilation_cache_dir):
+    amortizes the 20-90s first-compile of the train step across runs."""
+    if not cache_dir:
+        return
+    path = os.path.expanduser(cache_dir)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # never fail training over a cache
+        log.info(f"compilation cache disabled ({e})")
+
+
 class Trainer:
     def __init__(self, cfg: Config, data: Optional[RecoData] = None):
         self.cfg = cfg
+        enable_compilation_cache(cfg.trainer.jax_cache_dir)
         self.data = data or RecoData(cfg.data, seed=cfg.trainer.seed)
         resolve(cfg, self.data.max_item_id)
         self.model: GenerativeRecommender = build_model(
