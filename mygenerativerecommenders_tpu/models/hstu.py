@@ -75,8 +75,9 @@ class HSTUBlock(nn.Module):
     use_pallas: bool = False
     # >1: ring (sequence-parallel) attention over the ambient mesh's
     # sp_mesh_axes[1] axis; sp_mesh_axes[0] (or None) is the batch axis.
-    # Requires the time_position bias and overrides use_pallas (the fused
-    # kernel is not offset-aware). See parallel/ring_attention.py.
+    # Requires the time_position bias. With use_pallas, the per-chunk
+    # product routes through the fused offset-tile chunk kernel
+    # (ops/pallas/hstu_chunk.py). See parallel/ring_attention.py.
     sp_shards: int = 1
     sp_mesh_axes: tuple = ("data", "sp")
     # zigzag (load-balanced) sequence layout for the ring: device p holds
@@ -222,6 +223,7 @@ class HSTUBlock(nn.Module):
                 max_len=self.max_attn_len,
                 num_buckets=self.num_time_buckets,
                 axis_name=sp_name,
+                use_pallas=self.use_pallas,
             ),
             in_specs=(seq, seq, seq, P(dp, sp_name), P(), P()),
             out_specs=seq,

@@ -148,9 +148,7 @@ class GenerativeRecommender(nn.Module):
                 num_time_buckets=enc.num_time_buckets,
                 concat_ua=enc.concat_ua,
                 # ring attention overrides the fused kernel (not offset-aware)
-                use_pallas=(
-                    _resolve_use_pallas(enc.use_pallas) and enc.sp_shards <= 1
-                ),
+                use_pallas=_resolve_use_pallas(enc.use_pallas),
                 sp_shards=enc.sp_shards,
                 sp_zigzag=enc.sp_zigzag,
             )

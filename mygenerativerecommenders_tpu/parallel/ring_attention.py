@@ -55,7 +55,7 @@ from mygenerativerecommenders_tpu.ops.hstu_attention import bucketize_timedelta
 
 def _chunk_contribution(
     q, k_chunk, v_chunk, tsq_next, tsk_chunk, row_off, col_off,
-    pos_w, ts_w, max_len, num_buckets,
+    pos_w, ts_w, max_len, num_buckets, use_pallas=False, interpret=False,
 ):
     """Partial HSTU attention of local queries vs one K/V chunk.
 
@@ -63,15 +63,34 @@ def _chunk_contribution(
     (the ext[n+1] timestamps for local query rows); tsk_chunk: [B, Nc].
     row_off/col_off: global offsets of the first local row / chunk col.
     Returns [B, Nq, H, Dv] float32 partial sum.
+
+    use_pallas routes through the fused chunk kernel
+    (ops/pallas/hstu_chunk.py): the offset-dependent pos-bias and causal
+    mask become [Nq, Nc] data tiles (pos bias via the exact Kronecker
+    one-hot selection, so d_pos_w still flows through plain autodiff)
+    and the time-bucket bias is generated in-kernel — no [B, H, Nq, Nc]
+    bias/attention tensor in HBM on the forward.
     """
     nq, nc = q.shape[1], k_chunk.shape[1]
-    s = jnp.einsum(
-        "bnhd,bmhd->bhnm", q, k_chunk, preferred_element_type=jnp.float32
-    )
     rows = row_off + jnp.arange(nq)[:, None]  # global n
     cols = col_off + jnp.arange(nc)[None, :]  # global m
     # pos term: pos_w[(m - n) + max_len - 1], clipped like the fused kernel
     pos_idx = jnp.clip((cols - rows) + (max_len - 1), 0, 2 * max_len - 2)
+    if use_pallas:
+        from mygenerativerecommenders_tpu.ops.pallas.hstu_chunk import (
+            hstu_chunk_attention,
+            pos_bias_tile,
+        )
+
+        posb = pos_bias_tile(pos_w, pos_idx)
+        mask = (rows >= cols).astype(jnp.float32)
+        return hstu_chunk_attention(
+            q, k_chunk, v_chunk, tsq_next, tsk_chunk, posb, mask, ts_w,
+            inv_n=1.0 / max_len, num_buckets=num_buckets, interpret=interpret,
+        )
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k_chunk, preferred_element_type=jnp.float32
+    )
     bias = pos_w[pos_idx].astype(jnp.float32)[None, :, :]  # [1, Nq, Nc]
     delta = tsq_next[:, :, None] - tsk_chunk[:, None, :]  # [B, Nq, Nc]
     bias = bias + ts_w[bucketize_timedelta(delta, num_buckets)]
@@ -84,7 +103,8 @@ def _chunk_contribution(
 
 
 def ring_hstu_attention_local(
-    q, k, v, timestamps, pos_w, ts_w, *, max_len, num_buckets, axis_name
+    q, k, v, timestamps, pos_w, ts_w, *, max_len, num_buckets, axis_name,
+    use_pallas=False, interpret=False,
 ):
     """The per-shard body: call inside shard_map with the sequence axis of
     q/k/v/timestamps sharded over `axis_name` (all other args replicated).
@@ -115,7 +135,7 @@ def ring_hstu_attention_local(
         src = (p - t) % num_shards  # shard the chunk originated on
         acc = acc + _chunk_contribution(
             q, k_c, v_c, tsq_next, tsk_c, row_off, src * nl,
-            pos_w, ts_w, max_len, num_buckets,
+            pos_w, ts_w, max_len, num_buckets, use_pallas, interpret,
         )
         k_c, v_c, tsk_c = jax.lax.ppermute(
             (k_c, v_c, tsk_c), axis_name, fwd_perm
@@ -157,7 +177,8 @@ def inverse_permutation(perm):
 
 
 def ring_hstu_attention_zigzag_local(
-    q, k, v, timestamps, pos_w, ts_w, *, max_len, num_buckets, axis_name
+    q, k, v, timestamps, pos_w, ts_w, *, max_len, num_buckets, axis_name,
+    use_pallas=False, interpret=False,
 ):
     """Load-balanced (zigzag) ring body: inputs must be in zigzag layout
     (see zigzag_order) — device p's local rows are the chunk pair
@@ -217,7 +238,7 @@ def ring_hstu_attention_zigzag_local(
     def contrib(qh, kc, vc, tsqn, tskc, row_off, col_off):
         return _chunk_contribution(
             qh, kc, vc, tsqn, tskc, row_off, col_off,
-            pos_w, ts_w, max_len, num_buckets,
+            pos_w, ts_w, max_len, num_buckets, use_pallas, interpret,
         )
 
     def step(t, carry):
@@ -257,6 +278,7 @@ def ring_hstu_attention_zigzag_local(
 def make_ring_hstu_attention(
     mesh: Mesh, *, max_len: int, num_buckets: int, axis_name: str = "sp",
     data_axis: str | None = "data", zigzag: bool = False,
+    use_pallas: bool = False, interpret: bool = False,
 ):
     """jit-ready ring attention over `mesh`: (q, k, v, ts, pos_w, ts_w) ->
     out, with the sequence dim sharded over `axis_name` (and, when
@@ -275,6 +297,7 @@ def make_ring_hstu_attention(
         functools.partial(
             local,
             max_len=max_len, num_buckets=num_buckets, axis_name=axis_name,
+            use_pallas=use_pallas, interpret=interpret,
         ),
         mesh=mesh,
         in_specs=(
