@@ -108,6 +108,16 @@ class LossConfig:
     # (the step's dominant cost). Mathematically identical loss/grads —
     # see ops/dense_negatives.py. auto -> on when applicable.
     dense_catalog_negatives: str = "auto"  # auto | true | false
+    # Opt-in ALGORITHM CHANGE (off the reference-parity path): draw ONE
+    # set of num_to_sample negatives per optimizer step, shared by every
+    # supervision position, instead of the reference's independent
+    # per-position draw (autoregressive_losses.py:272-279). Negative
+    # scoring collapses to a single [B*T, D] @ [D, R] matmul — no count
+    # histogram, no catalog-wide scoring — which removes the last big
+    # single op of the dense path (PERFORMANCE.md "next optimizations").
+    # Standard large-scale sampled-softmax practice; takes precedence
+    # over dense_catalog_negatives when set.
+    shared_negatives: bool = False
 
 
 @dataclass

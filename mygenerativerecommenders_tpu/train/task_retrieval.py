@@ -232,6 +232,61 @@ def make_loss_fn(
         w = weights.astype(per_pos.dtype)
         return (per_pos * w).sum() / jnp.maximum(w.sum(), 1e-12)
 
+    def loss_fn_shared(
+        params: Any, batch: Dict[str, jax.Array], rng: jax.Array
+    ) -> jax.Array:
+        """Sampled softmax with ONE negative set per step shared by all
+        supervision positions (loss.shared_negatives — an opt-in
+        algorithm change, see LossConfig). Negative scoring is a single
+        [B, T, D] x [R, D] einsum; accidental hits are masked per
+        position exactly as in the per-position loss."""
+        drop_rng, neg_rng = jax.random.split(rng)
+        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
+        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+        seq = seq._replace(past_ids=past_ids)
+
+        def lookup(ids):
+            return model.apply(params, ids, method=model.item_embeddings)
+
+        input_embeddings = lookup(past_ids)
+        seq = seq._replace(past_embeddings=input_embeddings)
+        encoded, _ = model.apply(
+            params, seq, deterministic=False, rngs={"dropout": drop_rng}
+        )
+
+        outputs = encoded[:, :-1, :]
+        sup_ids = past_ids[:, 1:]
+        sup_emb = input_embeddings[:, 1:, :]
+        weights = (sup_ids != 0).astype(jnp.float32)
+        if "sample_weight" in batch:
+            weights = weights * batch["sample_weight"][:, None]
+
+        offsets = jax.random.randint(
+            neg_rng, (loss_cfg.num_to_sample,), 0, catalog.shape[0]
+        )
+        neg_ids = jnp.take(jnp.asarray(catalog), offsets, axis=0)  # [R]
+        neg_emb = sampler.normalize_embeddings(lookup(neg_ids))  # [R, D]
+        hits = sup_ids[..., None] == neg_ids[None, None, :]  # [B, T, R]
+
+        t = loss_cfg.temperature
+        pos_emb = sampler.normalize_embeddings(sup_emb)
+        pos_logits = (outputs * pos_emb).sum(-1) / t
+        neg_logits = (
+            jnp.einsum(
+                "btd,rd->btr", outputs, neg_emb,
+                preferred_element_type=jnp.float32,
+            )
+            / t
+        )
+        return sampled_softmax_loss(pos_logits, neg_logits, hits, weights)
+
+    if loss_cfg.shared_negatives:
+        if not applicable:
+            raise ValueError(
+                "loss.shared_negatives requires sampled_softmax + local "
+                "sampler + dot_product similarity"
+            )
+        return loss_fn_shared
     if use_dense_neg:
         return loss_fn_dense
     return loss_fn
