@@ -62,8 +62,18 @@ class EncoderConfig:
     use_pallas: str = "auto"
     # >1: ring (sequence-parallel) attention — the sequence axis is
     # sharded over an "sp" mesh axis of this many devices
-    # (parallel/ring_attention.py); hstu only, overrides use_pallas
+    # (parallel/ring_attention.py); hstu only; with use_pallas the
+    # per-chunk product runs through the fused chunk kernel
     sp_shards: int = 1
+    # >1: tensor-parallel encoder matrices over the "model" mesh axis —
+    # uvqk kernels column-sharded P(None, "model"), output-projection
+    # kernels row-sharded P("model", None); XLA/GSPMD partitions the
+    # matmuls and inserts the collectives (Megatron-style column->row
+    # split, reference has no TP at all — SURVEY §2.4). hstu only;
+    # composes with embedding.kind=sharded_local when the shard counts
+    # match (both ride the same "model" axis). Incompatible with
+    # sp_shards>1 (the ring's shard_map body consumes unsharded heads).
+    tp_shards: int = 1
     # zigzag (load-balanced) ring layout: device p holds the sequence
     # chunk pair (p, 2P-1-p), halving per-step causal attention work
     sp_zigzag: bool = False

@@ -27,6 +27,7 @@ from mygenerativerecommenders_tpu.configs import Config, max_seq_len, resolve, t
 from mygenerativerecommenders_tpu.data.dataset import BatchLoader, RecoData
 from mygenerativerecommenders_tpu.models.metrics import retrieval_metrics
 from mygenerativerecommenders_tpu.models.model import GenerativeRecommender, build_model
+from mygenerativerecommenders_tpu.parallel.tensor_parallel import place_tp_params
 from mygenerativerecommenders_tpu.train.checkpoint import CheckpointManager
 from mygenerativerecommenders_tpu.train.controllers import (
     EarlyStopping,
@@ -86,12 +87,26 @@ class Trainer:
         self.model: GenerativeRecommender = build_model(
             cfg, year_of_item=getattr(self.data, "year_of_item", None)
         )
-        model_axis = (
+        emb_shards = (
             cfg.model.embedding.num_shards
             if cfg.model.embedding.kind == "sharded_local"
             else 1
         )
+        tp_shards = (
+            cfg.model.encoder.tp_shards if cfg.model.encoder.kind == "hstu" else 1
+        )
+        if emb_shards > 1 and tp_shards > 1 and emb_shards != tp_shards:
+            raise ValueError(
+                "embedding.num_shards and encoder.tp_shards both use the "
+                f"'model' mesh axis and must match ({emb_shards} vs {tp_shards})"
+            )
+        model_axis = max(emb_shards, tp_shards)
         sp_axis = cfg.model.encoder.sp_shards if cfg.model.encoder.kind == "hstu" else 1
+        if tp_shards > 1 and sp_axis > 1:
+            raise ValueError(
+                "encoder.tp_shards is incompatible with sp_shards>1 (the "
+                "ring attention shard_map body consumes unsharded heads)"
+            )
         self.mesh = make_mesh(
             cfg.trainer.num_devices, model_axis=model_axis, sp_axis=sp_axis
         )
@@ -104,7 +119,7 @@ class Trainer:
         # [steps, batch, ...] stacks for the fused multi-step train call
         self.stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
         self.replicated = NamedSharding(self.mesh, P())
-        self._table_sharded = model_axis > 1
+        self._table_sharded = emb_shards > 1
 
         self.all_item_ids = np.asarray(self.data.all_item_ids, dtype=np.int32)
         self.rng = jax.random.PRNGKey(cfg.trainer.seed)
@@ -124,6 +139,8 @@ class Trainer:
             emb["item_emb"] = jax.device_put(emb["item_emb"], table_sharding)
             p["embeddings"] = emb
             self.params = {**self.params, "params": p}
+        if tp_shards > 1:
+            self.params = place_tp_params(self.params, self.mesh)
 
         # --- optimizer
         opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
