@@ -122,7 +122,7 @@ class ShardedLocalEmbedding(EmbeddingModule):
 
     @nn.compact
     def __call__(self, ids: jax.Array) -> jax.Array:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         vocab = ((self.num_items + 1 + self.num_shards - 1) // self.num_shards

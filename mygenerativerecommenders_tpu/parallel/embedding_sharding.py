@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,7 +138,7 @@ class ShardedEmbedding:
             # `routed` is value-replicated (identical requests -> identical
             # responses on every device) but the rep-checker can't infer
             # that through all_to_all
-            check_rep=False,
+            check_vma=False,
         )
         def _lookup(local_table: jax.Array, flat_ids: jax.Array) -> jax.Array:
             shard = jax.lax.axis_index(axis)
@@ -263,7 +263,7 @@ class ColumnShardedEmbedding:
             mesh=self.mesh,
             in_specs=(P(None, axis), P()),
             out_specs=P(),
-            check_rep=False,  # full all_gather output IS replicated
+            check_vma=False,  # full all_gather output IS replicated
         )
         def _lookup(local_table: jax.Array, flat_ids: jax.Array) -> jax.Array:
             cols = jnp.take(local_table, flat_ids, axis=0)  # [n, D/R]

@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def sharded_mips_top_k(
@@ -39,7 +39,7 @@ def sharded_mips_top_k(
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def _local_topk(q, items, ids):
         scores = jnp.einsum(
