@@ -126,6 +126,20 @@ def ml_20m_hstu() -> Config:
     return cfg
 
 
+@register("ml-20m-hstu-long")
+def ml_20m_hstu_long() -> Config:
+    """ml-20m with 1k sequences (BASELINE config #3: "HSTU-base, longer
+    sequences (1k) with jagged Pallas attention"). The fused attention
+    kernel keeps memory O(B·N·D) — no [B, N, N] bias/attention tensor —
+    so N=1024 fits easily; the dense [B,N,N] reference path would need
+    134 MB per block-tensor at this shape. D=dqk=dv=64, H=2, 8 blocks."""
+    cfg = ml_20m_hstu()
+    cfg.data.max_sequence_length = 1024
+    cfg.data.batch_size = 32
+    cfg.model.item_embedding_dim = 64
+    return cfg
+
+
 @register("synthetic-hstu")
 def synthetic_hstu() -> Config:
     """ml-1m-shaped synthetic data (no downloads): full recipe otherwise."""
