@@ -295,43 +295,60 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 
 
 # --------------------------------------------------------------------------
-# Fused backward from saved z: the training forward (_fwd_train_kernel)
-# writes z = q.k^T + bias, so the backward kernel needs NO q/k matmul and
-# NO bucket work at all — it reads z and forms (dz, p) stripes; dq/dk/dv
-# then reduce to three batched matmuls, d_pos_w to a tiny diagonal
-# segment-sum, and d_ts_w to a Kronecker one-hot MXU contraction over dz
-# (_dtw_from_dz). No [B, N, N] gather/scatter ever hits XLA.
+# Fully-fused backward from saved z: the training forward
+# (_fwd_train_kernel) writes z = q.k^T + bias, so the backward needs NO
+# bucket work — it reads z, forms (dz, p) per tile IN VMEM, and contracts
+# them on the spot:
 #
 #   sig = sigmoid(z)
 #   p  = z * sig * (1/N) * mask                      (the fwd attention)
 #   dp = g @ v^T
 #   dz = dp * (sig + z*sig*(1-sig)) * (1/N) * mask   (silu' chain)
-#   dq = dz @ k ; dk = dz^T @ q ; dv = p^T @ g
+#   dq = dz @ k ; dk = dz^T @ q ; dv = p^T @ g       (in-kernel)
 #   d_pos_w[(m-n)+N-1] += sum_b dz ; d_ts_w[bucket(dt)] += dz
+#
+# The only [B, N, N]-shaped HBM output is the HEAD-SUMMED dz (what the
+# bias-table gradients consume — buckets/offsets are head-independent),
+# so per block the old 2x [B*H, NP, NP] (dz, p) stripe round trip
+# (written once, read ~4x by the dq/dk/dv einsums + bias grads) shrinks
+# to one [B, NP, NP] write. Grid is (b, qi, h) with h INNERMOST so the
+# dzh output block (index (b, qi), constant across h) accumulates across
+# consecutive steps in VMEM; dk/dv accumulate across qi in per-b resident
+# [H, NP, D] output blocks (index (b,), written once per b).
+# At ml-20m-hstu-long (N=1024+11, H=2, 8 blocks) this took the step
+# 100.9 -> ~84 ms; math identical to the stripe path up to summation
+# order. No [B, N, N] gather/scatter ever hits XLA.
 # --------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    v_ref,  # [1, NP, DV]
-    g_ref,  # [1, BQ, DV]     cotangent tile
+def _bwd_fused_kernel(
+    k_ref,  # [1, H, NP, D]   resident per b
+    v_ref,  # [1, H, NP, DV]  resident per b
+    q_ref,  # [1, BQ, D]      (b*H+h, qi)
+    g_ref,  # [1, BQ, DV]     cotangent tile (b*H+h, qi)
     z_ref,  # [1, BQ, NP]     saved logits from the training forward
-    dz_ref,  # out [1, BQ, NP]
-    p_ref,  # out [1, BQ, NP]
+    dq_ref,  # out [1, BQ, D]
+    dk_ref,  # out [1, H, NP, D]   accumulated across qi (resident per b)
+    dv_ref,  # out [1, H, NP, DV]
+    dzh_ref,  # out [1, BQ, NP]    head-summed dz (accumulated across h)
     *,
     bq: int,
     bk: int,
     inv_n: float,
     n_valid: int,
 ):
-    qi = pl.program_id(2)
-    np_total = v_ref.shape[1]
+    qi = pl.program_id(1)
+    h = pl.program_id(2)
+    np_total = k_ref.shape[2]
     n_k_blocks = np_total // bk
 
+    q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
 
-    def body(kj, carry):
-        v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+    def body(kj, dq_blk):
+        k_tile = k_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         live = kj <= qi  # tiles past the causal frontier hold garbage z
         mask = jnp.logical_and(
@@ -348,11 +365,32 @@ def _bwd_kernel(
         dsilu = sig + z * sig * (1.0 - sig)
         dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
 
-        dz_ref[0, :, pl.ds(kj * bk, bk)] = dz
-        p_ref[0, :, pl.ds(kj * bk, bk)] = p
-        return carry
+        # dq accumulates across kj in registers
+        dq_blk = dq_blk + jax.lax.dot_general(
+            dz, k_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dk/dv accumulate across qi directly in the resident out block
+        # (index constant per b, so reads see the previous qi's values;
+        # qi == 0 initializes — the pre-read is discarded)
+        dk_c = jax.lax.dot_general(
+            dz, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv_c = jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sl = pl.ds(kj * bk, bk)
+        init = qi == 0
+        dk_ref[0, h, sl, :] = jnp.where(init, dk_c, dk_ref[0, h, sl, :] + dk_c)
+        dv_ref[0, h, sl, :] = jnp.where(init, dv_c, dv_ref[0, h, sl, :] + dv_c)
+        # head-summed dz accumulates across h (innermost grid dim, so the
+        # dzh block stays resident between h steps)
+        dzh_ref[0, :, sl] = jnp.where(h == 0, dz, dzh_ref[0, :, sl] + dz)
+        return dq_blk
 
-    jax.lax.fori_loop(0, n_k_blocks, body, 0)
+    dq = jax.lax.fori_loop(
+        0, n_k_blocks, body, jnp.zeros((bq, k_ref.shape[3]), dtype=jnp.float32)
+    )
+    dq_ref[0] = dq
 
 
 # d_ts_w radix factors: bucket = _DTW_HI_RADIX-ary high digit x low digit,
@@ -523,49 +561,61 @@ def _fused_fwd_train_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets
 def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
     pr = _prepare(q, k, v, timestamps, max_len)
     bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
-    gf = pr["fold"](g, pr["dv"], pr["dv_pad"])
-    grid = (pr["b"] * pr["h"], 1, np_total // bq)
+    b, h, n = pr["b"], pr["h"], pr["n"]
+    d_pad, dv_pad = pr["d_pad"], pr["dv_pad"]
+    gf = pr["fold"](g, pr["dv"], dv_pad)
+    # k/v reshaped [B, H, NP, D] so one resident block serves the whole
+    # per-b sweep (the kernel's dk/dv out blocks mirror this layout)
+    k4 = pr["kf"].reshape(b, h, np_total, d_pad)
+    v4 = pr["vf"].reshape(b, h, np_total, dv_pad)
+    grid = (b, np_total // bq, h)
 
-    dz, p = pl.pallas_call(
+    dqf, dk4, dv4, dzh = pl.pallas_call(
         functools.partial(
-            _bwd_kernel,
+            _bwd_fused_kernel,
             bq=bq, bk=bk,
-            inv_n=1.0 / max_len, n_valid=pr["n"],
+            inv_n=1.0 / max_len, n_valid=n,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, np_total, pr["dv_pad"]), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, bq, pr["dv_pad"]), lambda bh, _, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
+            pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
+            pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
+            pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi: (bi, qi, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, np_total, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, np_total, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, np_total, dv_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, np_total, np_total), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(pr["vf"], gf, z)
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * (pr["dqk"] + pr["dv"]),
+            bytes_accessed=4 * b * np_total * np_total * (h + 1),
+            transcendentals=b * h * n * n,
+        ),
+    )(k4, v4, pr["qf"], gf, z)
+    # dzh is already head-summed in-kernel; ts rows are per-b (stride h)
     dtw_out = _dtw_from_dz(
-        dz, pr["ts_next"], pr["ts_key"], num_buckets, num_heads=pr["h"]
+        dzh, pr["ts_next"][::h], pr["ts_key"][::h], num_buckets
     )
-
-    dqf = jnp.einsum("bnm,bmd->bnd", dz, pr["kf"], preferred_element_type=jnp.float32)
-    dkf = jnp.einsum("bnm,bnd->bmd", dz, pr["qf"], preferred_element_type=jnp.float32)
-    dvf = jnp.einsum("bnm,bnd->bmd", p, gf, preferred_element_type=jnp.float32)
-
-    b, h, n = pr["b"], pr["h"], pr["n"]
 
     def unfold(x, d):
         return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
     dq = unfold(dqf, pr["dqk"]).astype(q.dtype)
-    dk = unfold(dkf, pr["dqk"]).astype(k.dtype)
-    dv = unfold(dvf, pr["dv"]).astype(v.dtype)
+    dk = unfold(dk4.reshape(b * h, np_total, d_pad), pr["dqk"]).astype(k.dtype)
+    dv = unfold(dv4.reshape(b * h, np_total, dv_pad), pr["dv"]).astype(v.dtype)
 
     # d_pos_w via the same Kronecker one-hot contraction as d_ts_w: the
     # diagonal segment-sum becomes (dz_sum·oh_hi)^T @ oh_lo on the MXU
@@ -577,7 +627,7 @@ def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
     n_hi = (table + lo_r - 1) // lo_r
     oh_hi = (pos_idx[..., None] // lo_r == jnp.arange(n_hi)).astype(jnp.bfloat16)
     oh_lo = (pos_idx[..., None] % lo_r == jnp.arange(lo_r)).astype(jnp.bfloat16)
-    dz_sum = dz.sum(axis=0)  # [NP, NP]
+    dz_sum = dzh.sum(axis=0)  # [NP, NP]
     dpw = jnp.einsum(
         "nm,nmh,nml->hl", dz_sum, oh_hi, oh_lo,
         preferred_element_type=jnp.float32,

@@ -49,15 +49,22 @@ def test_fused_matches_reference_interpret(rng, n, h, dqk, dv):
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
 
 
-def test_fused_grads_match_reference_interpret(rng):
+# shapes chosen to exercise the fused backward's accumulation paths:
+# multiple q blocks (n > 128 -> dk/dv accumulate across qi), multiple
+# heads (dzh accumulates across the innermost h grid dim), multiple
+# batch rows (per-b resident out blocks are re-initialized)
+@pytest.mark.parametrize(
+    "b,n,h,dqk,dv",
+    [(1, 40, 1, 9, 11), (2, 150, 2, 16, 16), (3, 260, 2, 8, 8)],
+)
+def test_fused_grads_match_reference_interpret(rng, b, n, h, dqk, dv):
     from jax.experimental.pallas import tpu as pltpu
 
     from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
         hstu_attention_fused,
     )
 
-    n = 40
-    q, k, v, ts, pos_w, ts_w = _make(rng, b=1, n=n)
+    q, k, v, ts, pos_w, ts_w = _make(rng, b=b, n=n, h=h, dqk=dqk, dv=dv)
 
     def loss_fused(q_, k_, v_, pw_, tw_):
         return (hstu_attention_fused(q_, k_, v_, ts, pw_, tw_, n, 128) ** 2).sum()
