@@ -77,6 +77,12 @@ class EncoderConfig:
     # zigzag (load-balanced) ring layout: device p holds the sequence
     # chunk pair (p, 2P-1-p), halving per-step causal attention work
     sp_zigzag: bool = False
+    # rematerialize each HSTU block under jax.checkpoint: the training
+    # forward then keeps NO per-block [B*H, N, N] z residuals (2.7 GB at
+    # the ml-20m-hstu-long shape) — each block's forward reruns inside
+    # its backward. Trades ~1 extra fwd of compute for O(blocks * N^2)
+    # activation memory; enables much larger B*N per chip.
+    remat: bool = False
     # sasrec only
     ffn_hidden_dim: int = 0
 

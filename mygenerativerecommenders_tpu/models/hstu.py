@@ -270,6 +270,8 @@ class HSTU(nn.Module):
     # zigzag (load-balanced) sequence layout for the ring: device p holds
     # the chunk pair (p, 2P-1-p), halving per-step causal attention work.
     sp_zigzag: bool = False
+    # rematerialize each block under jax.checkpoint (see EncoderConfig.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -287,9 +289,20 @@ class HSTU(nn.Module):
         timestamps = past_payloads.get(TIMESTAMPS_KEY)
 
         mask = valid_mask.astype(x.dtype)
+
+        def apply_block(block: HSTUBlock, bx: jax.Array, bts) -> jax.Array:
+            return block(bx, bts, deterministic=deterministic)
+
+        if self.remat:
+            # drop each block's residuals (incl. the training-fwd kernel's
+            # [B*H, N, N] saved z) and recompute the block forward inside
+            # its backward — O(num_blocks * N^2) activation memory becomes
+            # O(N^2)
+            apply_block = nn.remat(apply_block)
+
         for i in range(self.num_blocks):
             x = x * mask  # jagged parity: padded rows stay exactly zero
-            x = HSTUBlock(
+            block = HSTUBlock(
                 embedding_dim=self.embedding_dim,
                 linear_dim=self.linear_dim,
                 attention_dim=self.attention_dim,
@@ -307,5 +320,6 @@ class HSTU(nn.Module):
                 sp_mesh_axes=self.sp_mesh_axes,
                 sp_zigzag=self.sp_zigzag,
                 name=f"block_{i}",
-            )(x, timestamps, deterministic=deterministic)
+            )
+            x = apply_block(block, x, timestamps)
         return x * mask

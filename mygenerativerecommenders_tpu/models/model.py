@@ -151,6 +151,7 @@ class GenerativeRecommender(nn.Module):
                 use_pallas=_resolve_use_pallas(enc.use_pallas),
                 sp_shards=enc.sp_shards,
                 sp_zigzag=enc.sp_zigzag,
+                remat=enc.remat,
             )
         elif enc.kind == "sasrec":
             from mygenerativerecommenders_tpu.models.sasrec import SASRec
