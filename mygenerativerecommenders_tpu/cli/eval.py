@@ -17,7 +17,10 @@ def main(argv: list[str] | None = None):
         raise ValueError("trainer.ckpt_path=<dir> is required for eval")
     maybe_init_distributed(cfg)
     trainer = Trainer(cfg)
-    results = trainer.test(cfg.trainer.ckpt_path)
+    try:
+        results = trainer.test(cfg.trainer.ckpt_path)
+    finally:
+        trainer.close()
     log.info(f"test: {results}")
     return results
 

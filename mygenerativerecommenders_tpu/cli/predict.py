@@ -19,12 +19,15 @@ def main(argv: list[str] | None = None):
     cfg = parse_args(argv if argv is not None else sys.argv[1:])
     maybe_init_distributed(cfg)
     trainer = Trainer(cfg)
-    if cfg.trainer.ckpt_path:
-        trainer.params = trainer.ckpt.restore(
-            cfg.trainer.ckpt_path,
-            {"params": trainer.params, "opt_state": trainer.opt_state},
-        )["params"]
-    predictions = trainer.predict()
+    try:
+        if cfg.trainer.ckpt_path:
+            trainer.params = trainer.ckpt.restore(
+                cfg.trainer.ckpt_path,
+                {"params": trainer.params, "opt_state": trainer.opt_state},
+            )["params"]
+        predictions = trainer.predict()
+    finally:
+        trainer.close()
     # join onto the sequence frame (reco_dataset.py:454-469)
     frame = pd.read_csv(trainer.data.processor.output_format_csv())
     for key, value in predictions.items():

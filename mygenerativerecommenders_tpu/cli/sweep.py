@@ -61,23 +61,27 @@ def main(argv: list[str] | None = None) -> dict:
     mode = base_cfg.trainer.mode
     keys = list(grid)
 
-    rows = []
-    for i, combo in enumerate(itertools.product(*grid.values())):
-        overrides = fixed + [f"{k}={v}" for k, v in zip(keys, combo)] + [
-            f"trainer.output_dir={os.path.join(out_dir, f'sweep_{i}')}"
-        ]
-        log.info(f"sweep run {i}: {dict(zip(keys, combo))}")
-        metric = train_main(overrides)
-        rows.append({**dict(zip(keys, combo)), "metric": metric, "run": i})
-        log.info(f"sweep run {i}: {base_cfg.trainer.monitor} = {metric:.6f}")
-
-    best = (max if mode == "max" else min)(rows, key=lambda r: r["metric"])
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "sweep_results.csv")
+    rows = []
+    # each row is flushed as its run finishes, so a crashed/interrupted
+    # combination never loses the completed runs' metrics
     with open(csv_path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=["run", *keys, "metric"])
         writer.writeheader()
-        writer.writerows(rows)
+        for i, combo in enumerate(itertools.product(*grid.values())):
+            overrides = fixed + [f"{k}={v}" for k, v in zip(keys, combo)] + [
+                f"trainer.output_dir={os.path.join(out_dir, f'sweep_{i}')}"
+            ]
+            log.info(f"sweep run {i}: {dict(zip(keys, combo))}")
+            metric = train_main(overrides)
+            row = {**dict(zip(keys, combo)), "metric": metric, "run": i}
+            rows.append(row)
+            writer.writerow(row)
+            f.flush()
+            log.info(f"sweep run {i}: {base_cfg.trainer.monitor} = {metric:.6f}")
+
+    best = (max if mode == "max" else min)(rows, key=lambda r: r["metric"])
     log.info(f"wrote {csv_path}")
     log.info(
         f"best ({base_cfg.trainer.monitor}, mode={mode}): "

@@ -54,8 +54,13 @@ def main(argv: list[str] | None = None) -> float:
     maybe_init_distributed(cfg)
     log.info(f"config: {json.dumps(to_dict(cfg), default=str)}")
     trainer = Trainer(cfg)
-    results = trainer.fit()
-    test_results = trainer.test()
+    try:
+        results = trainer.fit()
+        test_results = trainer.test()
+    finally:
+        # restore global state (the ambient mesh) — in-process callers
+        # like cli.sweep run many Trainers in one interpreter
+        trainer.close()
     log.info(f"test: {test_results}")
     monitor_key = cfg.trainer.monitor.split("/", 1)[-1]
     return results.get(monitor_key, 0.0)

@@ -147,7 +147,8 @@ class GenerativeRecommender(nn.Module):
                 relative_bias_type=enc.relative_bias_type,
                 num_time_buckets=enc.num_time_buckets,
                 concat_ua=enc.concat_ua,
-                # ring attention overrides the fused kernel (not offset-aware)
+                # composes with sp_shards: the ring routes per-chunk math
+                # through the fused offset-tile chunk kernel
                 use_pallas=_resolve_use_pallas(enc.use_pallas),
                 sp_shards=enc.sp_shards,
                 sp_zigzag=enc.sp_zigzag,

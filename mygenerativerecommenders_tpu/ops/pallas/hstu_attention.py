@@ -399,8 +399,11 @@ def _bwd_fused_kernel(
 _DTW_LO = 12
 
 
-def _dtw_from_dz(dz, ts_next, ts_key, num_buckets, num_heads=1):
-    """Time-bucket-table gradient from the emitted dz stripes.
+def _dtw_from_dz(dz, ts_next, ts_key, num_buckets):
+    """Time-bucket-table gradient from the HEAD-SUMMED dz [B, NP, NP]
+    (the fused backward kernel sums over heads in-kernel — buckets depend
+    only on timestamps, never heads, so per-head dz rows are redundant
+    here and would double the dominant compare/select work).
 
     d_ts_w[k] = sum_e dz_e * [bucket_e == k], evaluated as a Kronecker
     one-hot einsum: onehot(bucket) = onehot(bucket // LO) (x)
@@ -408,20 +411,9 @@ def _dtw_from_dz(dz, ts_next, ts_key, num_buckets, num_heads=1):
     (exact 0/1), so the reduction is one small MXU contraction instead of
     a 129-iteration in-kernel VPU sweep (measured 11.8 ms -> ~1 ms per
     block at the ml-1m recipe shapes). Padded dz entries are zero, so
-    their (arbitrary) buckets contribute nothing.
-
-    Buckets depend only on timestamps, not heads, so with num_heads > 1
-    dz is summed over heads FIRST and the contraction runs on [B, NP, NP]
-    instead of [B*H, NP, NP] — the per-element compare/select work that
-    dominates this fusion halves at H=2 (same math, one cheap
-    bandwidth-bound pre-sum; measured 2.55 -> ~1.4 ms per block at the
-    ml-20m-hstu-long shape).
+    their (arbitrary) buckets contribute nothing. ts_next/ts_key are the
+    per-b [B, 1, NP] rows (no head repeat).
     """
-    if num_heads > 1:
-        bh, np1, np2 = dz.shape
-        dz = dz.reshape(bh // num_heads, num_heads, np1, np2).sum(axis=1)
-        ts_next = ts_next[::num_heads]
-        ts_key = ts_key[::num_heads]
     n_hi = (num_buckets + _DTW_LO) // _DTW_LO  # ceil((nb+1)/LO)
     delta = ts_next[:, 0, :, None] - ts_key[:, 0, None, :]  # [BH, NP, NP]
     # u8 indices: buckets <= 132, and the materialized [BH, NP, NP] index

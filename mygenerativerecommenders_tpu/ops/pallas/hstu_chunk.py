@@ -83,6 +83,11 @@ def _chunk_kernel(
             a, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    # NOTE: all key tiles are swept — the chunk's global offsets are
+    # traced (ring axis_index), so unlike the full-sequence kernel there
+    # is no static causal frontier to bound the loop with. Fully-dead
+    # CHUNKS are already skipped at the ring layer (zigzag lax.cond); the
+    # residual waste is ~half the tiles of the one diagonal chunk.
     acc = jax.lax.fori_loop(0, ncp // bk, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 

@@ -139,9 +139,6 @@ class Trainer:
             emb["item_emb"] = jax.device_put(emb["item_emb"], table_sharding)
             p["embeddings"] = emb
             self.params = {**self.params, "params": p}
-        if tp_shards > 1:
-            self.params = place_tp_params(self.params, self.mesh)
-
         # --- optimizer
         opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
         if opt2 is not None and opt2.kind.startswith("scion") and opt2.scion_init:
@@ -160,10 +157,19 @@ class Trainer:
                     opt2,
                 ),
             }
+        if tp_shards > 1:
+            # AFTER scion_init_params — the Scion re-init regenerates
+            # exactly the 2-D encoder matrices TP shards, so placing first
+            # would silently drop the shardings
+            self.params = place_tp_params(self.params, self.mesh)
         tx = build_optimizer(cfg.optimizer1, opt2, self.params,
                              cfg.optimizer1.lr, cfg.optimizer2.lr)
         self.opt_state = jax.jit(tx.init)(self.params)
-        self.opt_state = jax.device_put(self.opt_state, self.replicated)
+        if model_axis == 1:
+            self.opt_state = jax.device_put(self.opt_state, self.replicated)
+        # else: tx.init's jitted zeros_like inherits each param's sharding,
+        # so the sharded table / TP kernels keep sharded optimizer moments
+        # (force-replicating here would add per-step gather/scatter)
 
         # --- steps
         self._multi_step_cache: Dict[int, Any] = {}

@@ -120,7 +120,10 @@ def make_loss_fn(
     )
     id_to_offset = id_to_offset_np  # numpy on purpose (see catalog note)
 
-    def loss_fn(params: Any, batch: Dict[str, jax.Array], rng: jax.Array) -> jax.Array:
+    def encode_for_loss(params: Any, batch: Dict[str, jax.Array], rng: jax.Array):
+        """Shared preamble of every retrieval loss variant: target scatter
+        (retrieval.py:86-90), embed, forward, shift-by-one supervision
+        layout (outputs[:, :-1] vs ids[:, 1:]) and presence weights."""
         drop_rng, neg_rng = jax.random.split(rng)
         seq, target_ids, _ = seq_features_from_batch(batch, max_out)
         # target goes at position `length` (retrieval.py:86-90)
@@ -132,27 +135,31 @@ def make_loss_fn(
 
         input_embeddings = lookup(past_ids)
         seq = seq._replace(past_embeddings=input_embeddings)
-
         encoded, _ = model.apply(
             params, seq, deterministic=False, rngs={"dropout": drop_rng}
         )  # [B, N, D]
 
-        supervision_ids = past_ids
         outputs = encoded[:, :-1, :]  # [B, N-1, D]
-        sup_ids = supervision_ids[:, 1:]  # [B, N-1]
+        sup_ids = past_ids[:, 1:]  # [B, N-1]
         sup_emb = input_embeddings[:, 1:, :]
         weights = (sup_ids != 0).astype(jnp.float32)
         if "sample_weight" in batch:
             weights = weights * batch["sample_weight"][:, None]
+        return lookup, past_ids, outputs, sup_ids, sup_emb, weights, neg_rng
+
+    def loss_fn(params: Any, batch: Dict[str, jax.Array], rng: jax.Array) -> jax.Array:
+        lookup, past_ids, outputs, sup_ids, sup_emb, weights, neg_rng = (
+            encode_for_loss(params, batch, rng)
+        )
 
         num_neg = loss_cfg.num_to_sample if loss_cfg.kind == "sampled_softmax" else 1
         if isinstance(sampler, InBatchNegativesSampler):
-            presences = supervision_ids != 0
+            presences = past_ids != 0
             if "sample_weight" in batch:
                 presences = jnp.logical_and(
                     presences, batch["sample_weight"][:, None] > 0
                 )
-            pool, count = sampler.process_batch(supervision_ids, presences)
+            pool, count = sampler.process_batch(past_ids, presences)
             neg_ids, neg_emb = sampler(
                 neg_rng, sup_ids, num_neg, pool, count, lookup
             )
@@ -192,27 +199,9 @@ def make_loss_fn(
             sampled_softmax_dense_neg_lse,
         )
 
-        drop_rng, neg_rng = jax.random.split(rng)
-        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
-        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
-        seq = seq._replace(past_ids=past_ids)
-
-        def lookup(ids):
-            return model.apply(params, ids, method=model.item_embeddings)
-
-        input_embeddings = lookup(past_ids)
-        seq = seq._replace(past_embeddings=input_embeddings)
-        encoded, _ = model.apply(
-            params, seq, deterministic=False, rngs={"dropout": drop_rng}
+        lookup, _, outputs, sup_ids, sup_emb, weights, neg_rng = (
+            encode_for_loss(params, batch, rng)
         )
-
-        outputs = encoded[:, :-1, :]
-        sup_ids = past_ids[:, 1:]
-        sup_emb = input_embeddings[:, 1:, :]
-        weights = (sup_ids != 0).astype(jnp.float32)
-        if "sample_weight" in batch:
-            weights = weights * batch["sample_weight"][:, None]
-
         norm_catalog = sampler.normalize_embeddings(lookup(catalog))
         neg_offsets = sampler.offsets_only(
             neg_rng, sup_ids, loss_cfg.num_to_sample, norm_catalog.shape[0]
@@ -240,27 +229,9 @@ def make_loss_fn(
         algorithm change, see LossConfig). Negative scoring is a single
         [B, T, D] x [R, D] einsum; accidental hits are masked per
         position exactly as in the per-position loss."""
-        drop_rng, neg_rng = jax.random.split(rng)
-        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
-        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
-        seq = seq._replace(past_ids=past_ids)
-
-        def lookup(ids):
-            return model.apply(params, ids, method=model.item_embeddings)
-
-        input_embeddings = lookup(past_ids)
-        seq = seq._replace(past_embeddings=input_embeddings)
-        encoded, _ = model.apply(
-            params, seq, deterministic=False, rngs={"dropout": drop_rng}
+        lookup, _, outputs, sup_ids, sup_emb, weights, neg_rng = (
+            encode_for_loss(params, batch, rng)
         )
-
-        outputs = encoded[:, :-1, :]
-        sup_ids = past_ids[:, 1:]
-        sup_emb = input_embeddings[:, 1:, :]
-        weights = (sup_ids != 0).astype(jnp.float32)
-        if "sample_weight" in batch:
-            weights = weights * batch["sample_weight"][:, None]
-
         offsets = jax.random.randint(
             neg_rng, (loss_cfg.num_to_sample,), 0, catalog.shape[0]
         )

@@ -141,6 +141,30 @@ def test_tp_composes_with_sharded_embedding(tmp_path):
         trainer.close()
 
 
+def test_tp_survives_scion_init(tmp_path):
+    """scion_init regenerates exactly the 2-D encoder matrices TP shards;
+    placement must happen after it or the shardings are silently lost."""
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.model.encoder.tp_shards = 2
+    cfg.model.encoder.use_pallas = "false"
+    cfg.optimizer2.enabled = True
+    cfg.optimizer2.kind = "scion"
+    cfg.optimizer2.scion_init = True
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        uvqk = trainer.params["params"]["encoder"]["block_0"]["uvqk"]
+        assert uvqk.sharding.spec == P(None, "model")
+        results = trainer.fit()
+        assert "ndcg@10" in results
+    finally:
+        trainer.close()
+
+
 def test_tp_config_validations(tmp_path):
     from mygenerativerecommenders_tpu.train.driver import Trainer
 
