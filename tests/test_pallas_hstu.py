@@ -55,7 +55,12 @@ def test_fused_matches_reference_interpret(rng, n, h, dqk, dv):
 # batch rows (per-b resident out blocks are re-initialized)
 @pytest.mark.parametrize(
     "b,n,h,dqk,dv",
-    [(1, 40, 1, 9, 11), (2, 150, 2, 16, 16), (3, 260, 2, 8, 8)],
+    [
+        (1, 40, 1, 9, 11),
+        (2, 150, 2, 16, 16),
+        (3, 260, 2, 8, 8),
+        (2, 150, 3, 10, 6),  # odd head count + dqk != dv
+    ],
 )
 def test_fused_grads_match_reference_interpret(rng, b, n, h, dqk, dv):
     from jax.experimental.pallas import tpu as pltpu
