@@ -67,8 +67,17 @@ def main():
                 replace=False,
             )
         ).astype(np.int32)
-    tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
-    opt_state = jax.jit(tx.init)(params)
+    if cfg.model.embedding.lazy_update:
+        import functools
+
+        from mygenerativerecommenders_tpu.train.lazy_embedding import (
+            init_lazy_opt_state,
+        )
+
+        opt_state = jax.jit(functools.partial(init_lazy_opt_state, cfg))(params)
+    else:
+        tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
+        opt_state = jax.jit(tx.init)(params)
     train_step = make_train_step(model, cfg, all_item_ids)
 
     dev_batch = jax.device_put(batch)

@@ -28,6 +28,15 @@ class EmbeddingConfig:
     num_items: int = 0  # 0 -> filled from data (max item id)
     init_std: float = 0.02
     num_shards: int = 1  # sharded_local: rows split over the "model" axis
+    # Opt-in ALGORITHM CHANGE (torch SparseAdam analog): update only the
+    # table rows a step touches (B*T positives + R shared negatives) —
+    # untouched rows get no momentum motion and no weight decay. Kills
+    # the dense [V, D] gradient + p/m/v optimizer passes that dominate
+    # at production vocab scales (~7 full-table HBM passes/step).
+    # Requires loss.shared_negatives + local sampler + dot_product +
+    # embedding.kind=local + optimizer1.kind=adamw
+    # (train/lazy_embedding.py).
+    lazy_update: bool = False
 
 
 @dataclass

@@ -162,9 +162,18 @@ class Trainer:
             # exactly the 2-D encoder matrices TP shards, so placing first
             # would silently drop the shardings
             self.params = place_tp_params(self.params, self.mesh)
-        tx = build_optimizer(cfg.optimizer1, opt2, self.params,
-                             cfg.optimizer1.lr, cfg.optimizer2.lr)
-        self.opt_state = jax.jit(tx.init)(self.params)
+        if cfg.model.embedding.lazy_update:
+            from mygenerativerecommenders_tpu.train.lazy_embedding import (
+                init_lazy_opt_state,
+            )
+
+            self.opt_state = jax.jit(
+                functools.partial(init_lazy_opt_state, cfg)
+            )(self.params)
+        else:
+            tx = build_optimizer(cfg.optimizer1, opt2, self.params,
+                                 cfg.optimizer1.lr, cfg.optimizer2.lr)
+            self.opt_state = jax.jit(tx.init)(self.params)
         if model_axis == 1:
             self.opt_state = jax.device_put(self.opt_state, self.replicated)
         # else: tx.init's jitted zeros_like inherits each param's sharding,

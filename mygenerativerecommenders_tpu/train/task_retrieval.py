@@ -316,6 +316,12 @@ def make_train_step(
     steps: int = 1,
 ) -> Callable:
     """train_step(params, opt_state, batch, rng, lr1, lr2) -> TrainStepOutput."""
+    if cfg.model.embedding.lazy_update:
+        from mygenerativerecommenders_tpu.train.lazy_embedding import (
+            make_lazy_train_step,
+        )
+
+        return make_lazy_train_step(model, cfg, all_item_ids, steps)
     loss_fn = make_loss_fn(model, cfg, all_item_ids)
     return train_step_from_loss(loss_fn, cfg, steps)
 
