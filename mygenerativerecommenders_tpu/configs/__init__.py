@@ -149,6 +149,12 @@ class LossConfig:
 class IndexConfig:
     k: int = 200
     filter_past_ids: bool = True
+    # "int8": store the candidate matrix as symmetric per-row int8 and
+    # pre-rank with an int8 MXU matmul (4x less catalog HBM traffic),
+    # then re-score rescore_over_fetch*k candidates against the exact
+    # f32 rows (ops/quantized_topk.py). "none" = reference-exact scan.
+    quantize: str = "none"  # none | int8
+    rescore_over_fetch: int = 4
 
 
 @dataclass

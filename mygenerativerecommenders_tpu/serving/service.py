@@ -216,7 +216,11 @@ class ServingEngine:
             )
         batch, n_real = self._pack(sequences, timestamps)
         fn = self._generate_fn(mode, steps, **kw)
-        ids = fn(self.params, batch, self.candidates, jax.random.PRNGKey(seed))
+        # decode scores against exact f32 rows; with index.quantize the
+        # candidate pytree carries them in .exact (retrieval pre-ranks on
+        # the int8 rows, generation stays exact)
+        candidates = getattr(self.candidates, "exact", self.candidates)
+        ids = fn(self.params, batch, candidates, jax.random.PRNGKey(seed))
         return np.asarray(ids)[:n_real].tolist()
 
 

@@ -337,11 +337,25 @@ def make_candidate_fn(
     # ~80s/array over the axon TPU tunnel (measured; see PARITY.md).
     catalog = np.asarray(all_item_ids, dtype=np.int32)
 
+    quantize = cfg.model.index.quantize
+
     @jax.jit
     def candidates(params) -> jax.Array:
         emb = model.apply(params, catalog, method=model.item_embeddings)
         return sampler.normalize_embeddings(emb)  # [X, D]
 
+    if quantize == "int8":
+        from mygenerativerecommenders_tpu.ops.quantized_topk import (
+            quantize_catalog,
+        )
+
+        @jax.jit
+        def candidates_q(params):
+            return quantize_catalog(candidates(params), keep_exact=True)
+
+        return candidates_q
+    if quantize not in ("", "none"):
+        raise ValueError(f"Unknown index.quantize {quantize!r}")
     return candidates
 
 
@@ -358,6 +372,8 @@ def make_eval_step(
     catalog = np.asarray(all_item_ids, dtype=np.int32)
     k = cfg.model.index.k
     filter_past = cfg.model.index.filter_past_ids
+    quantize = cfg.model.index.quantize
+    over_fetch = cfg.model.index.rescore_over_fetch
     max_out = cfg.model.gr_output_length + 1
 
     @jax.jit
@@ -372,6 +388,20 @@ def make_eval_step(
         encoded, lengths = model.apply(params, seq, deterministic=True)
         current = get_current_embeddings(lengths, encoded)  # [B, D]
         invalid = seq.past_ids if filter_past else None
+        if quantize == "int8":
+            from mygenerativerecommenders_tpu.ops.quantized_topk import (
+                mips_top_k_int8,
+            )
+
+            return mips_top_k_int8(
+                current,
+                candidates,
+                jnp.asarray(catalog),
+                k=min(k, len(all_item_ids)),
+                invalid_ids=invalid,
+                max_item_id=max_item_id,
+                over_fetch=over_fetch,
+            )
         return mips_top_k(
             current,
             candidates,

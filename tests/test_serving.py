@@ -181,3 +181,27 @@ def test_http_single_row_coalescing(server, engine):
     for status, body in results:
         assert status == 200
         assert body["ids"] == [want[0]]
+
+
+def test_engine_quantized_retrieval_and_generate():
+    """index.quantize=int8: retrieve pre-ranks on int8 rows + exact
+    re-score; generate stays on the exact rows carried in the
+    QuantizedCatalog. Results match the exact engine bit-for-bit at
+    full over-fetch on this tiny catalog."""
+    exact = _engine()
+    quant = _engine()
+    quant.cfg.model.index.quantize = "int8"
+    quant.cfg.model.index.rescore_over_fetch = 8
+    # rebuild the jitted programs under the quantized config
+    quant.__init__(
+        quant.model, quant.params, quant.cfg, quant.all_item_ids,
+        quant.max_item_id, batch_size=4,
+    )
+    seqs = [[1, 2, 3], [7, 5], [4], [9, 9, 9, 9]]
+    ids_a, scores_a = exact.retrieve(seqs)
+    ids_b, scores_b = quant.retrieve(seqs)
+    assert ids_a == ids_b
+    np.testing.assert_allclose(np.asarray(scores_a), np.asarray(scores_b), rtol=1e-5)
+    gen_a = exact.generate(seqs, steps=2, mode="greedy")
+    gen_b = quant.generate(seqs, steps=2, mode="greedy")
+    assert gen_a == gen_b
