@@ -153,6 +153,11 @@ class IndexConfig:
     # pre-rank with an int8 MXU matmul (4x less catalog HBM traffic),
     # then re-score rescore_over_fetch*k candidates against the exact
     # f32 rows (ops/quantized_topk.py). "none" = reference-exact scan.
+    # NOTE: the eval step is shared between serving and the training
+    # driver, so enabling int8 also makes val/test metrics, plateau-LR
+    # scheduling, and best-checkpoint selection run on the approximate
+    # pre-ranked scan. Intended as a serving fast path; keep "none" for
+    # training runs whose checkpoint selection must be exact.
     quantize: str = "none"  # none | int8
     rescore_over_fetch: int = 4
 

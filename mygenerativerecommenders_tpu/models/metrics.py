@@ -57,6 +57,11 @@ def multiclass_metrics(
     classes in macro averaging).
     """
     aurocs, aps = [], []
+    # Precision / Recall (metrics/multicls.py:36-39,53-55): torchmetrics'
+    # multiclass Precision/Recall default to average="micro", which for
+    # single-label multiclass is TP/(TP+FP) = TP/(TP+FN) = top-1 accuracy.
+    pred_cls = probs.argmax(axis=1)
+    accuracy = float((pred_cls == targets).mean()) if len(targets) else 0.0
     for c in range(num_classes):
         y = (targets == c).astype(np.float64)
         if y.sum() == 0 or y.sum() == len(y):
@@ -84,4 +89,6 @@ def multiclass_metrics(
     return {
         "auroc": float(np.mean(aurocs)) if aurocs else 0.0,
         "ap": float(np.mean(aps)) if aps else 0.0,
+        "precision": accuracy,
+        "recall": accuracy,
     }

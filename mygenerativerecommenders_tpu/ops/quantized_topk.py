@@ -87,7 +87,12 @@ def mips_top_k_int8(
     scores = si32.astype(jnp.float32) * qs[:, None] * catalog.scales[None, :]
     if invalid_ids is not None:
         if max_item_id is None:
-            max_item_id = int(item_ids.max())  # only valid outside jit
+            # item_ids is a tracer here (the fn is jitted), so computing
+            # the max would raise an opaque ConcretizationTypeError
+            raise ValueError(
+                "mips_top_k_int8 requires max_item_id when invalid_ids "
+                "is passed (it sizes the static invalid-id scatter mask)"
+            )
         scores = jnp.where(
             _invalid_mask(item_ids, invalid_ids, max_item_id), NEG_INF, scores
         )

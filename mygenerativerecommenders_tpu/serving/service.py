@@ -220,6 +220,14 @@ class ServingEngine:
         # candidate pytree carries them in .exact (retrieval pre-ranks on
         # the int8 rows, generation stays exact)
         candidates = getattr(self.candidates, "exact", self.candidates)
+        if candidates is None:
+            # a QuantizedCatalog built with keep_exact=False has no f32
+            # rows; passing None into the jitted decode fn would fail
+            # with an opaque trace error
+            raise RuntimeError(
+                "generation requires exact f32 candidate rows; the loaded "
+                "quantized catalog was built with keep_exact=False"
+            )
         ids = fn(self.params, batch, candidates, jax.random.PRNGKey(seed))
         return np.asarray(ids)[:n_real].tolist()
 

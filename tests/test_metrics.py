@@ -30,3 +30,45 @@ def test_retrieval_metrics_golden():
     np.testing.assert_allclose(
         m["ndcg@3"], (1.0 + 1.0 / np.log2(4)) / 3, rtol=1e-6
     )
+
+
+def test_multiclass_precision_recall():
+    """torchmetrics multiclass Precision/Recall default to micro averaging,
+    which for single-label multiclass reduces to top-1 accuracy
+    (metrics/multicls.py:36-39,53-55)."""
+    from mygenerativerecommenders_tpu.models.metrics import multiclass_metrics
+
+    probs = np.array(
+        [
+            [0.7, 0.2, 0.1],  # pred 0
+            [0.1, 0.8, 0.1],  # pred 1
+            [0.2, 0.3, 0.5],  # pred 2
+            [0.6, 0.3, 0.1],  # pred 0
+        ]
+    )
+    targets = np.array([0, 1, 1, 2])  # 2 of 4 correct
+    m = multiclass_metrics(probs, targets, num_classes=3)
+    assert m["precision"] == 0.5
+    assert m["recall"] == 0.5
+    assert "auroc" in m and "ap" in m
+
+
+def test_multiclass_precision_recall_matches_torchmetrics():
+    import pytest
+
+    torchmetrics = pytest.importorskip("torchmetrics")
+    import torch
+
+    from mygenerativerecommenders_tpu.models.metrics import multiclass_metrics
+
+    rng = np.random.default_rng(0)
+    probs = rng.random((64, 5))
+    probs = probs / probs.sum(axis=1, keepdims=True)
+    targets = rng.integers(0, 5, size=64)
+    m = multiclass_metrics(probs, targets, num_classes=5)
+    tp = torch.tensor(probs, dtype=torch.float32)
+    tt = torch.tensor(targets)
+    prec = torchmetrics.Precision(num_classes=5, task="multiclass")(tp, tt)
+    rec = torchmetrics.Recall(num_classes=5, task="multiclass")(tp, tt)
+    np.testing.assert_allclose(m["precision"], float(prec), atol=1e-6)
+    np.testing.assert_allclose(m["recall"], float(rec), atol=1e-6)
