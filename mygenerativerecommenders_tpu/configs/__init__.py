@@ -229,6 +229,12 @@ class DataConfig:
     item_year_feature: bool = False
     # per-user scalar feature columns to carry into batches (aux variant)
     additional_columns: Tuple[str, ...] = ()
+    # length-bucketed batching: ascending history-length capacities; each
+    # batch holds sequences of one bucket, truncated to that capacity, so
+    # short sequences stop paying max_sequence_length compute (the jagged
+    # no-padding-waste property; one XLA compile per bucket shape). The
+    # last bucket must equal max_sequence_length. () = off.
+    length_buckets: Tuple[int, ...] = ()
 
 
 @dataclass

@@ -188,6 +188,21 @@ class BatchLoader:
     no cross-host coordination) and takes its strided slice of it. Each
     process then feeds its local devices only; the per-process batch_size
     stays the global batch divided by process_count (caller's choice).
+
+    Length bucketing (`buckets`, ascending capacities whose max covers the
+    dataset's max length): each batch holds sequences from ONE bucket,
+    with the sequence arrays truncated to that bucket's capacity, so short
+    sequences never pay max-length compute (the jagged no-padding-waste
+    property; reference hstu.py:439-480 achieves it with fbgemm jagged
+    tensors, here it is the batch SHAPE that shrinks and XLA compiles one
+    program per bucket). Batches within a bucket are shuffled; bucket
+    order is shuffled per epoch but same-capacity batches stay adjacent so
+    the driver's multi-step stacking still finds same-shape runs. In
+    multi-host mode the bucket partition and batch boundaries are computed
+    on the GLOBAL permutation (bucket membership is data-dependent, so a
+    process-local partition would desync batch shapes across hosts and
+    deadlock collectives); each process takes its strided rows of every
+    global batch of batch_size * process_count rows.
     """
 
     def __init__(
@@ -199,6 +214,7 @@ class BatchLoader:
         drop_last: bool = False,
         process_index: int = 0,
         process_count: int = 1,
+        buckets: Optional[List[int]] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -208,6 +224,19 @@ class BatchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        self.buckets = sorted(buckets) if buckets else None
+        if self.buckets:
+            max_len = int(dataset.lengths.max()) if len(dataset) else 0
+            if self.buckets[-1] < max_len:
+                raise ValueError(
+                    f"length_buckets max {self.buckets[-1]} < dataset max "
+                    f"sequence length {max_len}"
+                )
+            caps = np.asarray(self.buckets)
+            # bucket id per example: smallest capacity >= length
+            self._bucket_of = np.searchsorted(
+                caps, np.maximum(dataset.lengths, 1)
+            )
 
     def _local_count(self) -> int:
         n = len(self.dataset)
@@ -217,17 +246,77 @@ class BatchLoader:
         return (n + self.process_count - 1) // self.process_count
 
     def __len__(self) -> int:
+        if self.buckets:
+            gbs = self.batch_size * self.process_count
+            counts = np.bincount(self._bucket_of, minlength=len(self.buckets))
+            if self.drop_last:
+                return int(sum(c // gbs for c in counts))
+            return int(sum((c + gbs - 1) // gbs for c in counts if c))
         n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _emit(self, idx: np.ndarray, cap: Optional[int]) -> Dict[str, np.ndarray]:
+        ds = self.dataset
+        weight = (idx >= 0).astype(np.float32)
+        idx = np.maximum(idx, 0)
+        sl = slice(None) if cap is None else slice(0, cap)
+        batch = {
+            "lengths": np.maximum(ds.lengths[idx], 1),
+            "ids": ds.ids[idx, sl],
+            "ratings": ds.ratings[idx, sl],
+            "timestamps": ds.timestamps[idx, sl],
+            "target_id": ds.target_id[idx],
+            "target_rating": ds.target_rating[idx],
+            "target_timestamp": ds.target_timestamp[idx],
+            "sample_weight": weight,
+        }
+        for col, values in (ds.additional or {}).items():
+            batch[col] = values[idx]
+        return batch
+
+    def _iter_bucketed(self, order: np.ndarray, rng) -> Iterator[Dict[str, np.ndarray]]:
+        gbs = self.batch_size * self.process_count
+        caps = self.buckets
+        bucket_of = self._bucket_of[order]
+        # global batches per bucket (same partition on every process)
+        batches: List[List] = []  # (cap, global idx row block)
+        for bi, cap in enumerate(caps):
+            members = order[bucket_of == bi]
+            if len(members) == 0:
+                continue
+            for s in range(0, len(members), gbs):
+                chunk = members[s : s + gbs]
+                if len(chunk) < gbs:
+                    if self.drop_last:
+                        continue
+                    chunk = np.concatenate(
+                        [chunk, np.full(gbs - len(chunk), -1, dtype=chunk.dtype)]
+                    )
+                batches.append((cap, chunk))
+        if self.shuffle and rng is not None:
+            # shuffle bucket ORDER, keep same-cap batches adjacent (the
+            # multi-step stacker needs same-shape runs); batches within a
+            # bucket are already example-shuffled via `order`
+            cap_rank = {c: i for i, c in enumerate(rng.permutation(caps))}
+            batches.sort(key=lambda t: cap_rank[t[0]])
+        for cap, chunk in batches:
+            if self.process_count > 1:
+                chunk = chunk[self.process_index :: self.process_count]
+            yield self._emit(chunk, cap)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = np.arange(n)
+        rng = None
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(order)
+        self.epoch += 1
+        if self.buckets:
+            yield from self._iter_bucketed(order, rng)
+            return
         if self.process_count > 1:
             order = order[self.process_index :: self.process_count]
             short = self._local_count() - len(order)
@@ -235,30 +324,14 @@ class BatchLoader:
                 order = np.concatenate(  # get sample_weight 0 below
                     [order, np.full(short, -1, dtype=order.dtype)]
                 )
-        self.epoch += 1
         bs = self.batch_size
         num_batches = len(self)
-        ds = self.dataset
         for b in range(num_batches):
             idx = order[b * bs : (b + 1) * bs]
             pad = bs - len(idx)
             if pad > 0:
                 idx = np.concatenate([idx, np.full(pad, -1, dtype=idx.dtype)])
-            weight = (idx >= 0).astype(np.float32)
-            idx = np.maximum(idx, 0)
-            batch = {
-                "lengths": np.maximum(ds.lengths[idx], 1),
-                "ids": ds.ids[idx],
-                "ratings": ds.ratings[idx],
-                "timestamps": ds.timestamps[idx],
-                "target_id": ds.target_id[idx],
-                "target_rating": ds.target_rating[idx],
-                "target_timestamp": ds.target_timestamp[idx],
-                "sample_weight": weight,
-            }
-            for col, values in (ds.additional or {}).items():
-                batch[col] = values[idx]
-            yield batch
+            yield self._emit(idx, None)
 
 
 class RecoData:
@@ -338,4 +411,5 @@ class RecoData:
             seed=self._seed,
             process_index=process_index,
             process_count=process_count,
+            buckets=list(self.cfg.length_buckets) or None,
         )

@@ -89,6 +89,7 @@ class HSTUBlock(nn.Module):
         self,
         x: jax.Array,  # [B, N, D], zero at invalid positions
         timestamps: Optional[jax.Array],  # [B, N] or None
+        lengths: Optional[jax.Array] = None,  # [B] valid row counts
         *,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -119,7 +120,7 @@ class HSTUBlock(nn.Module):
         def materialize_bias() -> Optional[jax.Array]:
             if pos_w is None:
                 return None
-            bias = relative_position_bias(pos_w, n)[None, :, :]
+            bias = relative_position_bias(pos_w, n, n_total)[None, :, :]
             if ts_w is not None:
                 bias = bias + relative_time_bias(ts_w, timestamps, self.num_time_buckets)
             return bias
@@ -142,9 +143,13 @@ class HSTUBlock(nn.Module):
                     hstu_attention_fused,
                 )
 
+                # lengths enable jagged tile skipping in the kernel: query
+                # and key tiles beyond each sequence's valid rows are never
+                # computed (exact — see hstu_attention_fused docstring)
                 attn = hstu_attention_fused(
                     qh, kh, vh, timestamps, pos_w, ts_w,
                     max_len=n_total, num_buckets=self.num_time_buckets,
+                    lengths=lengths,
                 )
             else:
                 attn = hstu_attention_reference(
@@ -289,9 +294,19 @@ class HSTU(nn.Module):
         timestamps = past_payloads.get(TIMESTAMPS_KEY)
 
         mask = valid_mask.astype(x.dtype)
+        # per-sequence valid row count for the jagged kernel's tile
+        # skipping: last valid position + 1 (robust to any mask pattern,
+        # not just prefix masks). Derived from valid_mask rather than
+        # past_lengths because preprocessors change the row count (aux
+        # token prepend, item+rating interleaving).
+        n = x.shape[1]
+        kernel_lengths = jnp.max(
+            valid_mask[:, :, 0].astype(jnp.int32) * (jnp.arange(n, dtype=jnp.int32) + 1),
+            axis=1,
+        )
 
-        def apply_block(block: HSTUBlock, bx: jax.Array, bts) -> jax.Array:
-            return block(bx, bts, deterministic=deterministic)
+        def apply_block(block: HSTUBlock, bx: jax.Array, bts, blens) -> jax.Array:
+            return block(bx, bts, blens, deterministic=deterministic)
 
         if self.remat:
             # drop each block's residuals (incl. the training-fwd kernel's
@@ -321,5 +336,5 @@ class HSTU(nn.Module):
                 sp_zigzag=self.sp_zigzag,
                 name=f"block_{i}",
             )
-            x = apply_block(block, x, timestamps)
+            x = apply_block(block, x, timestamps, kernel_lengths)
         return x * mask

@@ -45,15 +45,21 @@ def bucketize_timedelta(delta: jax.Array, num_buckets: int) -> jax.Array:
     return jnp.clip(x.astype(jnp.int32), 0, num_buckets)
 
 
-def relative_position_bias(pos_w: jax.Array, n: int) -> jax.Array:
-    """[2N-1] table -> [N, N] bias with bias[i, j] = pos_w[j - i + N - 1].
+def relative_position_bias(
+    pos_w: jax.Array, n: int, max_len: int | None = None
+) -> jax.Array:
+    """[2*max_len-1] table -> [N, N] bias, bias[i, j] = pos_w[j - i + max_len - 1].
 
     Matches the pad/repeat/reshape trick in RelativePositionalBias.forward
-    (hstu.py:59-68) — verified numerically against it.
+    (hstu.py:59-68) — verified numerically against it. `max_len` is the
+    static table center (defaults to n); under length-bucketed batching
+    n < max_len and only the central [N, N] window of the table is read.
     """
+    if max_len is None:
+        max_len = n
     i = jnp.arange(n)[:, None]
     j = jnp.arange(n)[None, :]
-    return pos_w[(j - i) + (n - 1)]
+    return pos_w[(j - i) + (max_len - 1)]
 
 
 def relative_time_bias(

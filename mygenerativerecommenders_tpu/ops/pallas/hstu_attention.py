@@ -68,7 +68,7 @@ def _ts_bias_gather(bucket, tsw_ref, num_buckets):
     return out
 
 def _kernel(
-    # scalar-prefetch-free refs, order = inputs then outputs then scratch
+    len_ref,  # scalar prefetch: [B*H] int32 per-sequence valid length
     q_ref,  # [1, BQ, D]
     k_ref,  # [1, NP, D]
     v_ref,  # [1, NP, DV]
@@ -86,6 +86,7 @@ def _kernel(
 ):
     qi = pl.program_id(2)
     np_total = k_ref.shape[1]
+    seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
     q = q_ref[0].astype(jnp.float32)  # [BQ, D]
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)  # [BQ]
@@ -105,8 +106,10 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )  # [BQ, BK]
 
-        # bias: positional tile + in-kernel time-bucket lane gather
-        bias = posb_ref[:, pl.ds(kj * bk, bk)].astype(jnp.float32)
+        # bias: block-Toeplitz positional stripe slice (tile content
+        # depends only on kj - qi) + in-kernel time-bucket lane gather
+        n_q = np_total // bk
+        bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(jnp.float32)
         delta = tsq[:, None] - tsk[None, :]
         bucket = bucketize_timedelta(delta, num_buckets)  # [BQ, BK] int32
         bias = bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
@@ -114,7 +117,7 @@ def _kernel(
         a = jax.nn.silu(s + bias) * inv_n
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         causal = row_ids >= col_ids
-        in_range = col_ids < n_valid
+        in_range = jnp.logical_and(col_ids < seq_len, row_ids < seq_len)
         a = jnp.where(jnp.logical_and(causal, in_range), a, 0.0)
 
         return acc + jax.lax.dot_general(
@@ -123,14 +126,19 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
 
-    # causal: key blocks beyond the current query block contribute nothing
-    acc = jax.lax.fori_loop(0, qi + 1, body, acc)
+    # jagged + causal tile skipping: key blocks beyond the current query
+    # block OR beyond this sequence's valid length contribute nothing;
+    # query blocks fully past the length produce zero rows outright
+    n_kj = jnp.minimum(qi + 1, (seq_len + bk - 1) // bk)
+    n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
+    acc = jax.lax.fori_loop(0, n_kj, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 
 
 def _fwd_train_kernel(
+    len_ref,  # scalar prefetch: [B*H] int32 per-sequence valid length
     q_ref, k_ref, v_ref, tsq_ref, tsk_ref, posb_ref, tsw_ref,
     out_ref,  # [1, BQ, DV]
     z_ref,  # out [1, BQ, NP] — saved pre-activation logits (s + bias)
@@ -143,9 +151,11 @@ def _fwd_train_kernel(
 ):
     """Training forward: identical math to _kernel, additionally writes the
     z = q.k^T + bias stripes so the backward never re-runs the bucket
-    sweep. Tiles beyond the causal frontier are left unwritten — the
-    backward masks them with a select, never arithmetic."""
+    sweep. Tiles beyond the causal frontier OR beyond this sequence's
+    valid length are left unwritten — the backward masks them with a
+    select (live = kj <= qi and kj*bk < len), never arithmetic."""
     qi = pl.program_id(2)
+    seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
     q = q_ref[0].astype(jnp.float32)
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
@@ -159,7 +169,8 @@ def _fwd_train_kernel(
         s = jax.lax.dot_general(
             q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        bias = posb_ref[:, pl.ds(kj * bk, bk)].astype(jnp.float32)
+        n_q = z_ref.shape[2] // bk
+        bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(jnp.float32)
         delta = tsq[:, None] - tsk[None, :]
         bucket = bucketize_timedelta(delta, num_buckets)
         z = s + bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
@@ -167,21 +178,23 @@ def _fwd_train_kernel(
 
         a = jax.nn.silu(z) * inv_n
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        in_range = jnp.logical_and(col_ids < seq_len, row_ids < seq_len)
         a = jnp.where(
-            jnp.logical_and(row_ids >= col_ids, col_ids < n_valid), a, 0.0
+            jnp.logical_and(row_ids >= col_ids, in_range), a, 0.0
         )
         return acc + jax.lax.dot_general(
             a, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    acc = jax.lax.fori_loop(0, qi + 1, body, acc)
+    n_kj = jnp.minimum(qi + 1, (seq_len + bk - 1) // bk)
+    n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
+    acc = jax.lax.fori_loop(0, n_kj, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(6, 7)
-)
-def hstu_attention_fused(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+def hstu_attention_fused(
+    q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, lengths=None
+):
     """Fused HSTU attention with on-the-fly relative time+position bias.
 
     Args:
@@ -191,16 +204,37 @@ def hstu_attention_fused(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets)
       ts_w: [num_buckets + 1] time-bucket table.
       max_len: static N (the 1/n normalizer; must equal N).
       num_buckets: time buckets (reference: 128).
+      lengths: optional [B] int32 per-sequence valid row counts. When
+        given, the kernels skip query/key tiles beyond each sequence's
+        length (the jagged no-padding-waste property, reference
+        hstu.py:439-480) and output rows >= length are exactly zero.
+        Bit-exact for rows < length: the skipped tiles' contributions are
+        exact zeros in the dense math (masked keys have v == 0).
 
     Returns [B, N, H, Dv] float32.
     """
-    return _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets)
+    if lengths is None:
+        lengths = jnp.full((q.shape[0],), q.shape[1], dtype=jnp.int32)
+    return _fused_len(
+        q, k, v, timestamps, lengths.astype(jnp.int32), pos_w, ts_w,
+        max_len, num_buckets,
+    )
 
 
-def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_len(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
+    return _fused_fwd_impl(
+        q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
+    )
+
+
+def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
     b, n, h, dqk = q.shape
     dv = v.shape[-1]
-    assert n == max_len, f"sequence dim {n} != max_len {max_len}"
+    # n < max_len under length-bucketed batching: the 1/max_len normalizer
+    # and the pos-table center stay at the full static length (the
+    # reference normalizes by its constant mask buffer size, hstu.py:193)
+    assert n <= max_len, f"sequence dim {n} > max_len {max_len}"
 
     bq = bk = 128  # lane-dim slices must be 128-aligned on TPU
     np_total = _round_up(n, bq)
@@ -231,12 +265,7 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
     ts_next = ts_next[:, None, :]
     ts_key = ts_key[:, None, :]
 
-    # batch-independent positional bias, padded: clip indices so padded
-    # rows/cols read a valid table slot (their contributions are masked).
-    i = jnp.arange(np_total)[:, None]
-    j = jnp.arange(np_total)[None, :]
-    pos_idx = jnp.clip((j - i) + (max_len - 1), 0, 2 * max_len - 2)
-    pos_bias = pos_w[pos_idx].astype(jnp.float32)  # [NP, NP]
+    pos_bias = _pos_toeplitz(pos_w, np_total, max_len, bq, bk)  # [BQ, NP]
 
     # lane-pad the table so the chunked lane gather's 128-wide slices
     # never run past the array (no-op at the reference's 129 entries,
@@ -249,6 +278,7 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 
     n_q_blocks = np_total // bq
     grid = (b * h, 1, n_q_blocks)
+    lens_bh = jnp.repeat(lengths, h) if h > 1 else lengths
 
     out = pl.pallas_call(
         functools.partial(
@@ -259,20 +289,25 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
             inv_n=1.0 / max_len,
             n_valid=n,
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((bq, np_total), lambda bh, _, qi: (qi, 0)),
-            pl.BlockSpec(
-                (1, _round_up(num_buckets + 1, 128)),
-                lambda bh, _, qi: (0, 0),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((bq, np_total), lambda bh, _, qi, lens: (0, 0)),
+                pl.BlockSpec(
+                    (1, _round_up(num_buckets + 1, 128)),
+                    lambda bh, _, qi, lens: (0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bq, dv_pad), lambda bh, _, qi, lens: (bh, qi, 0)
             ),
-        ],
-        out_specs=pl.BlockSpec((1, bq, dv_pad), lambda bh, _, qi: (bh, qi, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, np_total, dv_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -282,7 +317,7 @@ def _fused_fwd_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
             bytes_accessed=4 * b * h * n * (2 * dqk + 2 * dv),
             transcendentals=b * h * n * n * 2,
         ),
-    )(qf, kf, vf, ts_next, ts_key, pos_bias, ts_w_2d)
+    )(lens_bh, qf, kf, vf, ts_next, ts_key, pos_bias, ts_w_2d)
 
     out = out[:, :n, :dv].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
     return out
@@ -322,6 +357,7 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 
 
 def _bwd_fused_kernel(
+    len_ref,  # scalar prefetch: [B] int32 per-sequence valid length
     k_ref,  # [1, H, NP, D]   resident per b
     v_ref,  # [1, H, NP, DV]  resident per b
     q_ref,  # [1, BQ, D]      (b*H+h, qi)
@@ -341,43 +377,68 @@ def _bwd_fused_kernel(
     h = pl.program_id(2)
     np_total = k_ref.shape[2]
     n_k_blocks = np_total // bk
+    seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    d_dim, dv_dim = k_ref.shape[3], v_ref.shape[3]
 
     def body(kj, dq_blk):
-        k_tile = k_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
-        v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        live = kj <= qi  # tiles past the causal frontier hold garbage z
-        mask = jnp.logical_and(
-            jnp.logical_and(row_ids >= col_ids, col_ids < n_valid), live
-        )
+        # tiles past the causal frontier OR past this sequence's length
+        # hold garbage z (the fwd never wrote them) and contribute zeros;
+        # lax.cond skips their 4 dots outright (the writes below still
+        # run so the accumulated dk/dv/dzh out blocks are initialized)
+        live = jnp.logical_and(kj <= qi, kj * bk < seq_len)
+        live = jnp.logical_and(live, qi * bq < seq_len)
 
-        z = z_ref[0, :, pl.ds(kj * bk, bk)].astype(jnp.float32)
-        sig = jax.nn.sigmoid(z)
-        p = jnp.where(mask, z * sig * inv_n, 0.0)
+        def compute(_):
+            k_tile = k_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+            v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+            mask = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
+            mask = jnp.logical_and(mask, row_ids < seq_len)
 
-        dp = jax.lax.dot_general(
-            g, v_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dsilu = sig + z * sig * (1.0 - sig)
-        dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
+            z = z_ref[0, :, pl.ds(kj * bk, bk)].astype(jnp.float32)
+            sig = jax.nn.sigmoid(z)
+            p = jnp.where(mask, z * sig * inv_n, 0.0)
 
-        # dq accumulates across kj in registers
-        dq_blk = dq_blk + jax.lax.dot_general(
-            dz, k_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # dk/dv accumulate across qi directly in the resident out block
-        # (index constant per b, so reads see the previous qi's values;
-        # qi == 0 initializes — the pre-read is discarded)
-        dk_c = jax.lax.dot_general(
-            dz, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dv_c = jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+            dp = jax.lax.dot_general(
+                g, v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsilu = sig + z * sig * (1.0 - sig)
+            dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
+
+            dq_c = jax.lax.dot_general(
+                dz, k_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_c = jax.lax.dot_general(
+                dz, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_c = jax.lax.dot_general(
+                p, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dq_c, dk_c, dv_c, dz
+
+        def dead(_):
+            return (
+                jnp.zeros((bq, d_dim), dtype=jnp.float32),
+                jnp.zeros((bk, d_dim), dtype=jnp.float32),
+                jnp.zeros((bk, dv_dim), dtype=jnp.float32),
+                jnp.zeros((bq, bk), dtype=jnp.float32),
+            )
+
+        dq_c, dk_c, dv_c, dz = jax.lax.cond(live, compute, dead, None)
+
+        # dq accumulates across kj in registers; dk/dv accumulate across
+        # qi directly in the resident out block (index constant per b, so
+        # reads see the previous qi's values; qi == 0 initializes — the
+        # pre-read is discarded)
+        dq_blk = dq_blk + dq_c
         sl = pl.ds(kj * bk, bk)
         init = qi == 0
         dk_ref[0, h, sl, :] = jnp.where(init, dk_c, dk_ref[0, h, sl, :] + dk_c)
@@ -388,7 +449,7 @@ def _bwd_fused_kernel(
         return dq_blk
 
     dq = jax.lax.fori_loop(
-        0, n_k_blocks, body, jnp.zeros((bq, k_ref.shape[3]), dtype=jnp.float32)
+        0, n_k_blocks, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
     )
     dq_ref[0] = dq
 
@@ -473,36 +534,36 @@ def _prepare(q, k, v, timestamps, max_len):
     )
 
 
-def _pos_bias(pos_w, np_total, max_len):
-    """[NP, NP] positional bias without a gather: two-stage Kronecker
-    one-hot selection. Each stage picks exactly ONE term per output
-    element, so the result is bit-identical to pos_w[pos_idx] while
-    running as a tiny matmul + a lane-wise multiply-reduce instead of a
-    65K-row gather (~4x faster on TPU; gathers cost ~cycles/element)."""
-    i = jnp.arange(np_total)[:, None]
-    j = jnp.arange(np_total)[None, :]
-    pos_idx = jnp.clip((j - i) + (max_len - 1), 0, 2 * max_len - 2)
-    table = 2 * max_len - 1
-    lo_r = 128
-    n_hi = (table + lo_r - 1) // lo_r
-    w2 = jnp.pad(pos_w.astype(jnp.float32), (0, n_hi * lo_r - table)).reshape(
-        n_hi, lo_r
-    )
-    oh_hi = (pos_idx[..., None] // lo_r == jnp.arange(n_hi)).astype(jnp.float32)
-    # T1[n, m, lo] = w2[hi(idx), lo] — single-term selection, exact
-    t1 = jnp.einsum("nmh,hl->nml", oh_hi, w2, preferred_element_type=jnp.float32)
-    oh_lo = (pos_idx[..., None] % lo_r == jnp.arange(lo_r)).astype(jnp.float32)
-    bias = jnp.einsum(
-        "nml,nml->nm", oh_lo, t1, preferred_element_type=jnp.float32
-    )
-    return bias, pos_idx
+def _pos_toeplitz(pos_w, np_total, max_len, bq, bk):
+    """[BQ, NP] block-Toeplitz positional-bias stripe. The full [NP, NP]
+    bias (bias[i, j] = pos_w[j - i + max_len - 1]) is constant along
+    diagonals, so every (qi, kj) tile is the lane slice
+    [(kj - qi + nq - 1) * bk : +bk] of this one stripe — the kernels
+    fetch it ONCE per pallas_call (constant block index) instead of a
+    fresh [BQ, NP] stripe per q-block grid step (measured 1.4 GB/step of
+    posb DMA at ml-20m-long shapes). Clipped indices only land on
+    causally-masked positions, matching the old per-tile clip."""
+    nq = np_total // bq
+    b0 = (max_len - 1) - (nq - 1) * bk
+    # gather-free construction (a [BQ, NP] 2-D gather measured ~1 ms/step
+    # on TPU): sample the table over one contiguous wrapped index range
+    # (a [NP+BQ]-element 1-D gather, trivial), then the tile-and-reshape
+    # trick realizes flat[r, c] = x[(c - r) mod m] as a pure copy.
+    m = np_total + bq
+    i = jnp.arange(m)
+    w_idx = jnp.where(i < np_total, i + b0, i - m + b0)
+    x = pos_w[jnp.clip(w_idx, 0, 2 * max_len - 2)]
+    flat = jnp.tile(x, bq)[: bq * (m - 1)].reshape(bq, m - 1)
+    return flat[:, :np_total].astype(jnp.float32)
 
 
-def _fused_fwd_train_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+def _fused_fwd_train_impl(
+    q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
+):
     """Training forward: returns (out, z) with z saved for the backward."""
     pr = _prepare(q, k, v, timestamps, max_len)
     bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
-    pos_bias, _ = _pos_bias(pos_w, np_total, max_len)
+    pos_bias = _pos_toeplitz(pos_w, np_total, max_len, bq, bk)  # [BQ, NP]
     # lane-pad the table so the chunked lane gather's 128-wide slices
     # never run past the array (no-op at the reference's 129 entries,
     # where the final chunk is a single select)
@@ -512,6 +573,7 @@ def _fused_fwd_train_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets
         ((0, 0), (0, _round_up(nb1, 128) - nb1)),
     )
     grid = (pr["b"] * pr["h"], 1, np_total // bq)
+    lens_bh = jnp.repeat(lengths, pr["h"]) if pr["h"] > 1 else lengths
 
     out, z = pl.pallas_call(
         functools.partial(
@@ -519,23 +581,26 @@ def _fused_fwd_train_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets
             bq=bq, bk=bk, num_buckets=num_buckets,
             inv_n=1.0 / max_len, n_valid=pr["n"],
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, pr["d_pad"]), lambda bh, _, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, np_total, pr["d_pad"]), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, np_total, pr["dv_pad"]), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((1, 1, np_total), lambda bh, _, qi: (bh, 0, 0)),
-            pl.BlockSpec((bq, np_total), lambda bh, _, qi: (qi, 0)),
-            pl.BlockSpec(
-                (1, _round_up(num_buckets + 1, 128)),
-                lambda bh, _, qi: (0, 0),
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, pr["dv_pad"]), lambda bh, _, qi: (bh, qi, 0)),
-            pl.BlockSpec((1, bq, np_total), lambda bh, _, qi: (bh, qi, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, pr["d_pad"]), lambda bh, _, qi, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, np_total, pr["d_pad"]), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, np_total, pr["dv_pad"]), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
+                pl.BlockSpec((bq, np_total), lambda bh, _, qi, lens: (0, 0)),
+                pl.BlockSpec(
+                    (1, _round_up(num_buckets + 1, 128)),
+                    lambda bh, _, qi, lens: (0, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, pr["dv_pad"]), lambda bh, _, qi, lens: (bh, qi, 0)),
+                pl.BlockSpec((1, bq, np_total), lambda bh, _, qi, lens: (bh, qi, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((grid[0], np_total, pr["dv_pad"]), jnp.float32),
             jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
@@ -543,14 +608,14 @@ def _fused_fwd_train_impl(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(pr["qf"], pr["kf"], pr["vf"], pr["ts_next"], pr["ts_key"], pos_bias, ts_w_2d)
+    )(lens_bh, pr["qf"], pr["kf"], pr["vf"], pr["ts_next"], pr["ts_key"], pos_bias, ts_w_2d)
 
     n, dv_dim = pr["n"], pr["dv"]
     out = out[:, :n, :dv_dim].reshape(pr["b"], pr["h"], n, dv_dim).transpose(0, 2, 1, 3)
     return out, z
 
 
-def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
+def _fused_bwd_impl(q, k, v, timestamps, lengths, z, max_len, num_buckets, g):
     pr = _prepare(q, k, v, timestamps, max_len)
     bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
     b, h, n = pr["b"], pr["h"], pr["n"]
@@ -568,20 +633,23 @@ def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
             bq=bq, bk=bk,
             inv_n=1.0 / max_len, n_valid=n,
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
-            pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
-            pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, H=h: (bi * H + hi, qi, 0)),
-            pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi: (bi, qi, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+                pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+                pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+                pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+                pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, lens: (bi, qi, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, np_total, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, h, np_total, d_pad), jnp.float32),
@@ -596,7 +664,7 @@ def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
             bytes_accessed=4 * b * np_total * np_total * (h + 1),
             transcendentals=b * h * n * n,
         ),
-    )(k4, v4, pr["qf"], gf, z)
+    )(lengths, k4, v4, pr["qf"], gf, z)
     # dzh is already head-summed in-kernel; ts rows are per-b (stride h)
     dtw_out = _dtw_from_dz(
         dzh, pr["ts_next"][::h], pr["ts_key"][::h], num_buckets
@@ -627,19 +695,19 @@ def _fused_bwd_impl(q, k, v, timestamps, z, max_len, num_buckets, g):
     return dq, dk, dv, dpw, dtw_out
 
 
-def _fused_fwd(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
+def _fused_fwd(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
     out, z = _fused_fwd_train_impl(
-        q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets
+        q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
     )
-    return out, (q, k, v, timestamps, z)
+    return out, (q, k, v, timestamps, lengths, z)
 
 
 def _fused_bwd(max_len, num_buckets, residuals, g):
-    q, k, v, timestamps, z = residuals
+    q, k, v, timestamps, lengths, z = residuals
     dq, dk, dv, dpw, dtw = _fused_bwd_impl(
-        q, k, v, timestamps, z, max_len, num_buckets, g
+        q, k, v, timestamps, lengths, z, max_len, num_buckets, g
     )
-    return dq, dk, dv, None, dpw, dtw
+    return dq, dk, dv, None, None, dpw, dtw
 
 
-hstu_attention_fused.defvjp(_fused_fwd, _fused_bwd)
+_fused_len.defvjp(_fused_fwd, _fused_bwd)

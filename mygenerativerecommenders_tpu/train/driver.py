@@ -330,9 +330,20 @@ class Trainer:
         depth = max(int(self.cfg.trainer.prefetch), 1)
         queue = deque()
         chunk = []
+
+        def flush_partial():
+            for b in chunk:
+                queue.append(([b], self._put(b), 1))
+            chunk.clear()
+
         for i, batch in enumerate(loader):
             if i >= limit:
                 break
+            # length-bucketed loaders change the sequence shape at bucket
+            # boundaries; a stack needs uniform shapes, so flush the open
+            # chunk through the single-step path at a shape change
+            if chunk and batch["ids"].shape != chunk[0]["ids"].shape:
+                flush_partial()
             chunk.append(batch)
             if len(chunk) == k:
                 stacked = {key: np.stack([b[key] for b in chunk]) for key in chunk[0]}
@@ -340,8 +351,7 @@ class Trainer:
                 chunk = []
             while len(queue) >= depth:
                 yield queue.popleft()
-        for b in chunk:
-            queue.append(([b], self._put(b), 1))
+        flush_partial()
         while queue:
             yield queue.popleft()
 

@@ -84,3 +84,92 @@ def test_fused_grads_match_reference_interpret(rng, b, n, h, dqk, dv):
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
     for a, b_ in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+
+
+def _expected_jagged(q, k, v, ts, pos_w, ts_w, n, lengths):
+    """Length-masked dense reference: rows >= length are zero in q/k/v and
+    in the output — the jagged semantics the fused kernel implements when
+    `lengths` is passed."""
+    mask = (jnp.arange(n)[None, :] < lengths[:, None]).astype(q.dtype)
+    m4 = mask[:, :, None, None]
+    out = _expected(q * m4, k * m4, v * m4, ts, pos_w, ts_w, n)
+    return out * m4
+
+
+@pytest.mark.parametrize(
+    "b,n,h,lengths",
+    [
+        (3, 150, 1, [150, 40, 0]),  # full / short / empty
+        (2, 300, 2, [144, 299]),  # multiple q blocks, mixed tiles
+        (2, 64, 1, [1, 63]),
+    ],
+)
+def test_fused_jagged_matches_masked_reference(rng, b, n, h, lengths):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_attention_fused,
+    )
+
+    q, k, v, ts, pos_w, ts_w = _make(rng, b=b, n=n, h=h, dqk=10, dv=12)
+    lens = jnp.asarray(lengths, dtype=jnp.int32)
+    expected = np.asarray(_expected_jagged(q, k, v, ts, pos_w, ts_w, n, lens))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            hstu_attention_fused(q, k, v, ts, pos_w, ts_w, n, 128, lengths=lens)
+        )
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+    # rows beyond each length must be exactly zero
+    for i, L in enumerate(lengths):
+        assert np.all(got[i, L:] == 0.0)
+
+
+@pytest.mark.parametrize(
+    "b,n,h,lengths",
+    [
+        (3, 150, 2, [150, 40, 0]),
+        (2, 300, 1, [144, 299]),
+    ],
+)
+def test_fused_jagged_grads_match_masked_reference(rng, b, n, h, lengths):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_attention_fused,
+    )
+
+    q, k, v, ts, pos_w, ts_w = _make(rng, b=b, n=n, h=h, dqk=10, dv=12)
+    lens = jnp.asarray(lengths, dtype=jnp.int32)
+
+    def loss_fused(q_, k_, v_, pw_, tw_):
+        out = hstu_attention_fused(q_, k_, v_, ts, pw_, tw_, n, 128, lengths=lens)
+        return (out ** 2).sum()
+
+    def loss_ref(q_, k_, v_, pw_, tw_):
+        return (_expected_jagged(q_, k_, v_, ts, pw_, tw_, n, lens) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+
+
+def test_fused_full_lengths_bit_identical_to_no_lengths(rng):
+    """lengths=N must reproduce the lengths=None path bit-for-bit (same
+    tile schedule for all valid rows)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_attention_fused,
+    )
+
+    n = 150
+    q, k, v, ts, pos_w, ts_w = _make(rng, b=2, n=n, h=2, dqk=16, dv=16)
+    full = jnp.full((2,), n, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(hstu_attention_fused(q, k, v, ts, pos_w, ts_w, n, 128))
+        b_ = np.asarray(
+            hstu_attention_fused(q, k, v, ts, pos_w, ts_w, n, 128, lengths=full)
+        )
+    np.testing.assert_array_equal(a, b_)
