@@ -1,0 +1,110 @@
+"""Real 2-process distributed integration test — the analog of the
+reference's `trainer=ddp_sim` 2-process CPU DDP simulation
+(configs/trainer/ddp_sim.yaml:1-7). Exercises, as actual separate
+processes, the multi-host paths that single-process tests never reach:
+per-process loader sharding, jax.make_array_from_process_local_data
+global-batch stitching, and the padded process_allgather metric
+reduction (train/driver.py)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mygenerativerecommenders_tpu.configs.presets import get_preset
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = str(tmp_path / "data")
+
+    # pre-generate the synthetic dataset so the workers don't race the ETL
+    from mygenerativerecommenders_tpu.data.dataset import RecoData
+
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = data_dir
+    RecoData(cfg.data, seed=cfg.trainer.seed)
+
+    # --- 2-process run
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    procs, outs = [], []
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = repo
+    for p in range(2):
+        out_json = str(tmp_path / f"metrics_p{p}.json")
+        outs.append(out_json)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(repo, "tests", "distributed_worker.py"),
+                    coordinator,
+                    str(p),
+                    "2",
+                    data_dir,
+                    out_json,
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for proc in procs:
+        stdout, _ = proc.communicate(timeout=600)
+        logs.append(stdout.decode())
+    for p, (proc, text) in enumerate(zip(procs, logs)):
+        assert proc.returncode == 0, f"worker {p} failed:\n{text[-4000:]}"
+    results = [json.load(open(o)) for o in outs]
+
+    # every process must report identical metrics (they all_gather the
+    # same global rows)
+    for key in ("val", "test"):
+        for metric in results[0][key]:
+            assert results[0][key][metric] == pytest.approx(
+                results[1][key][metric], rel=1e-9
+            ), f"{key}/{metric} disagrees across processes"
+    np.testing.assert_allclose(
+        results[0]["train_loss"], results[1]["train_loss"], rtol=1e-6
+    )
+    assert np.isfinite(results[0]["train_loss"])
+
+    # --- single-process 8-device run of the SAME recipe (global batch 16)
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg1 = get_preset("synthetic-smoke")
+    cfg1.data.data_dir = data_dir
+    cfg1.data.batch_size = 16
+    cfg1.trainer.output_dir = str(tmp_path / "out_single")
+    cfg1.trainer.max_epochs = 2
+    cfg1.trainer.min_epochs = 1
+    trainer = Trainer(cfg1)
+    try:
+        loader = trainer._loader("train")
+        for trainer.epoch in range(cfg1.trainer.max_epochs):
+            last = trainer.train_epoch(loader)
+        val1 = trainer.eval_epoch(trainer._loader("val"), "val")
+    finally:
+        trainer.close()
+
+    # eval is deterministic per example and both runs see the same
+    # parameter-update DATA (same global batches, rows permuted), but the
+    # permutation changes negative draws per example, so trajectories are
+    # only statistically equal — compare eval metrics loosely and assert
+    # the 2-process run actually trained (finite, comparable loss).
+    assert np.isfinite(last)
+    for metric, v1 in val1.items():
+        v2 = results[0]["val"][metric]
+        assert abs(v1 - v2) < 0.25, f"val/{metric}: single {v1} vs 2-proc {v2}"
