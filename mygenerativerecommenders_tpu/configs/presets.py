@@ -193,3 +193,71 @@ def synthetic_smoke() -> Config:
     cfg.trainer.min_epochs = 1
     cfg.trainer.log_every_n_steps = 1
     return cfg
+
+
+@register("amzn-books")
+def amzn_books() -> Config:
+    """Amazon-Books HSTU retrieval (BASELINE config #4; reference ETL
+    preprocessor.py:286-394). ~2M-item vocab after the >=5 filter, long
+    tail of short sequences -> length-bucketed batching + lazy (sparse-
+    row) embedding updates. Single-host runnable; see amzn-books-sharded
+    for the multi-host row-sharded-table variant. Needs the raw
+    ratings_Books.csv (downloaded automatically when egress exists)."""
+    cfg = Config()
+    cfg.data.dataset_name = "amzn-books"
+    cfg.data.batch_size = 128
+    cfg.data.max_sequence_length = 512
+    cfg.data.length_buckets = (64, 128, 256, 512)
+    # vocab discovered from the processed item CSV at load time
+    cfg.data.expected_num_unique_items = 0
+    cfg.data.expected_max_item_id = 0
+    cfg.model.item_embedding_dim = 64
+    cfg.model.embedding.lazy_update = True
+    # lazy row updates require the shared-negatives sampled-softmax fast
+    # path (the per-row dense-catalog loss would densify the grad anyway)
+    cfg.model.loss.shared_negatives = True
+    cfg.model.encoder.num_blocks = 8
+    cfg.model.encoder.num_heads = 2
+    cfg.model.loss.num_to_sample = 512
+    cfg.model.index.k = 200
+    cfg.trainer.monitor = "val/ndcg@100"
+    cfg.model.metrics.at_k_list = (10, 50, 100, 200)
+    return cfg
+
+
+@register("amzn-books-sharded")
+def amzn_books_sharded() -> Config:
+    """amzn-books with the item table row-sharded over an 8-way model
+    mesh axis (all-to-all owner-routed lookups) and the sharded top-k
+    merge — the multi-host large-vocab recipe."""
+    cfg = amzn_books()
+    cfg.model.embedding.kind = "sharded_local"
+    cfg.model.embedding.num_shards = 8
+    cfg.model.embedding.lazy_update = False  # dense update is sharded too
+    return cfg
+
+
+@register("synthetic-large-vocab")
+def synthetic_large_vocab() -> Config:
+    """10M-item synthetic retrieval (BASELINE config #5): row-sharded
+    embedding table (8 shards; 10M x 64 f32 = 2.6 GB split 320 MB/shard),
+    sharded top-k, int8 pre-ranked eval scan. Scale knobs:
+    data.expected_max_item_id / embedding.num_shards."""
+    cfg = Config()
+    cfg.data.dataset_name = "synthetic-large"
+    cfg.data.batch_size = 64
+    cfg.data.max_sequence_length = 200
+    cfg.data.synthetic_num_users = 4096
+    cfg.data.expected_num_unique_items = 10_000_000
+    cfg.data.expected_max_item_id = 10_000_000
+    cfg.model.item_embedding_dim = 64
+    cfg.model.embedding.kind = "sharded_local"
+    cfg.model.embedding.num_shards = 8
+    cfg.model.encoder.num_blocks = 4
+    cfg.model.encoder.num_heads = 2
+    cfg.model.loss.num_to_sample = 512
+    cfg.model.index.k = 200
+    cfg.model.index.quantize = "int8"
+    cfg.model.metrics.at_k_list = (10, 50, 100, 200)
+    cfg.trainer.monitor = "val/ndcg@100"
+    return cfg

@@ -188,11 +188,40 @@ class MovielensNpzDataProcessor(DataProcessor):
 
 @dataclass
 class AmazonDataProcessor(DataProcessor):
+    # matches the reference's >= 5 interactions filter for both users and
+    # items (preprocessor.py:309-339)
+    min_count: int = 5
+
+    def download(self) -> None:
+        if os.path.exists(self.saved_name):
+            return
+        if not self.download_path:
+            raise FileNotFoundError(
+                f"Amazon ratings CSV not found at {self.saved_name} and no "
+                "download_path configured; place the raw "
+                "ratings_<Category>.csv there (snap.stanford.edu Amazon "
+                "product data) or point data.data_dir at it"
+            )
+        import urllib.request
+
+        os.makedirs(os.path.dirname(self.saved_name) or ".", exist_ok=True)
+        urllib.request.urlretrieve(self.download_path, self.saved_name)
+
     def preprocess_rating(self) -> int:
+        self.download()
         ratings = pd.read_csv(
             self.saved_name,
             names=["user_id", "movie_id", "rating", "unix_timestamp"],
         )
+        if self.min_count > 1:
+            # drop users/items with < min_count interactions
+            # (reference preprocessor.py:309-339)
+            item_counts = ratings["movie_id"].value_counts()
+            user_counts = ratings["user_id"].value_counts()
+            ratings = ratings[
+                ratings["movie_id"].map(item_counts).ge(self.min_count)
+                & ratings["user_id"].map(user_counts).ge(self.min_count)
+            ]
         # integer-code string ids, 1-based (0 reserved for padding)
         ratings["user_id"] = pd.factorize(ratings["user_id"])[0] + 1
         item_codes, item_uniques = pd.factorize(ratings["movie_id"])
@@ -298,7 +327,20 @@ def build_processor(dataset_name: str, data_dir: str, **kwargs) -> DataProcessor
             **kwargs,
         )
     if dataset_name.startswith("amzn") or dataset_name.startswith("amazon"):
-        return AmazonDataProcessor(prefix=dataset_name, data_dir=data_dir, **kwargs)
+        # amzn-books -> Books etc. (snap.stanford.edu Amazon product data,
+        # the reference's source, preprocessor.py:286-307)
+        category = dataset_name.split("-", 1)[1].capitalize() if "-" in dataset_name else ""
+        extra = {}
+        if category:
+            extra = dict(
+                download_path=(
+                    "http://snap.stanford.edu/data/amazon/productGraph/"
+                    f"categoryFiles/ratings_{category}.csv"
+                ),
+                saved_name=os.path.join(data_dir, f"ratings_{category}.csv"),
+            )
+        extra.update(kwargs)
+        return AmazonDataProcessor(prefix=dataset_name, data_dir=data_dir, **extra)
     if dataset_name.startswith("synthetic"):
         return SyntheticDataProcessor(prefix=dataset_name, data_dir=data_dir, **kwargs)
     raise ValueError(f"Unknown dataset {dataset_name}")

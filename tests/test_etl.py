@@ -23,7 +23,8 @@ def test_amazon_etl(tmp_path):
     pd.DataFrame(rows).to_csv(raw, index=False, header=False)
 
     proc = AmazonDataProcessor(
-        prefix="amzn-test", data_dir=str(tmp_path), saved_name=str(raw)
+        prefix="amzn-test", data_dir=str(tmp_path), saved_name=str(raw),
+        min_count=1,  # tiny fixture: items mostly appear < 5 times
     )
     n = proc.preprocess_rating()
     assert n == 8
@@ -96,3 +97,43 @@ def test_ml20mx16x32_npz_etl(tmp_path):
     )
     assert len(ds) == n_users
     assert ds.lengths.max() <= 10
+
+
+def test_amazon_min_count_filter(tmp_path):
+    """>= 5 interactions filter for users AND items (reference
+    preprocessor.py:309-339)."""
+    raw = tmp_path / "ratings_Filter.csv"
+    rows = []
+    # 5 "heavy" users x 6 interactions over 5 popular items (each item
+    # appears >= 6 times), plus one light user and one rare item that
+    # must be dropped
+    popular = [f"P{i}" for i in range(5)]
+    for u in range(5):
+        for t in range(6):
+            rows.append([f"H{u}", popular[t % 5], 5.0, 1_400_000_000 + t])
+    rows.append(["LIGHT", popular[0], 3.0, 1_400_000_999])
+    rows.append(["H0", "RARE", 3.0, 1_400_001_000])
+    import pandas as pd
+
+    pd.DataFrame(rows).to_csv(raw, index=False, header=False)
+    proc = AmazonDataProcessor(
+        prefix="amzn-filter", data_dir=str(tmp_path), saved_name=str(raw)
+    )
+    n = proc.preprocess_rating()
+    assert n == 5  # LIGHT user dropped
+    seqs = pd.read_csv(proc.output_format_csv())
+    all_ids = set()
+    for s in seqs["sequence_item_ids"]:
+        all_ids.update(eval(s))
+    items_csv = pd.read_csv(proc.processed_item_csv())
+    assert len(items_csv) == 5  # RARE item dropped from the catalog
+    assert all_ids <= set(items_csv["movie_id"])
+
+
+def test_amazon_missing_file_error(tmp_path):
+    proc = AmazonDataProcessor(
+        prefix="amzn-none", data_dir=str(tmp_path),
+        saved_name=str(tmp_path / "nope.csv"),
+    )
+    with pytest.raises(FileNotFoundError):
+        proc.preprocess_rating()

@@ -105,3 +105,78 @@ def test_sharded_embedding_model_forward_and_grads(mesh, rng):
         g_table = g["params"]["embeddings"]["item_emb"]
         assert np.isfinite(np.asarray(g_table)).all()
         assert float(np.abs(np.asarray(g_table)).max()) > 0
+
+
+def test_synthetic_large_vocab_preset_fast_dev_run(tmp_path):
+    """BASELINE config #5 wired end-to-end from the preset: sharded table
+    (8-way model axis) + int8 pre-ranked eval + sharded top-k, scaled
+    down for the 8-device CPU mesh."""
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg = get_preset("synthetic-large-vocab")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    # scale down: vocab 50k (still sharded 8-way), tiny model
+    cfg.data.expected_num_unique_items = 50_000
+    cfg.data.expected_max_item_id = 50_000
+    cfg.data.synthetic_num_users = 32
+    cfg.data.batch_size = 8
+    cfg.data.max_sequence_length = 16
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.num_blocks = 1
+    cfg.model.loss.num_to_sample = 16
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+        assert "ndcg@100" in results
+        import numpy as np
+
+        assert np.isfinite(list(results.values())).all()
+    finally:
+        trainer.close()
+
+
+def test_amzn_books_preset_fast_dev_run(tmp_path):
+    """amzn-books preset end-to-end on a small fake ratings CSV: Amazon
+    ETL -> length-bucketed loader -> lazy embedding update -> eval."""
+    import numpy as np
+    import pandas as pd
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    items = [f"B{i:04d}" for i in range(40)]
+    for u in range(24):
+        n = rng.integers(6, 20)
+        ts = np.sort(rng.integers(0, 10**6, size=n)) + 1_400_000_000
+        for t in range(n):
+            rows.append([f"U{u}", items[rng.integers(0, 8)], 5.0, int(ts[t])])
+    pd.DataFrame(rows).to_csv(
+        data_dir / "ratings_Books.csv", index=False, header=False
+    )
+
+    cfg = get_preset("amzn-books")
+    cfg.data.data_dir = str(data_dir)
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.batch_size = 8
+    cfg.data.max_sequence_length = 16
+    cfg.data.length_buckets = (8, 16)
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.num_blocks = 1
+    cfg.model.loss.num_to_sample = 8
+    cfg.model.index.k = 5
+    cfg.model.metrics.at_k_list = (5,)
+    cfg.trainer.monitor = "val/ndcg@5"
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+        assert "ndcg@5" in results
+    finally:
+        trainer.close()
