@@ -47,6 +47,9 @@ def make_dataset(users, max_len, num_items, seed=0):
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/mygenerativerecommenders_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mygenerativerecommenders_tpu.configs import apply_overrides, resolve
     from mygenerativerecommenders_tpu.configs.presets import get_preset
     from mygenerativerecommenders_tpu.data.dataset import BatchLoader
@@ -84,25 +87,34 @@ def main():
     train_step = make_train_step(model, cfg, all_item_ids)
     lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
 
+    variants = [("padded", None), ("bucketed", [128, 256, 512, 1024])]
+    pick = os.environ.get("VARIANT")
+    if pick:
+        variants = [v for v in variants if v[0] == pick]
     results = {}
-    for name, buckets in (
-        ("padded", None),
-        ("bucketed", [128, 256, 512, 1024]),
-    ):
+    for name, buckets in variants:
         loader = BatchLoader(ds, batch_size=b, shuffle=True, seed=1, buckets=buckets)
         p, o = params, opt_state
         # epoch 0: compile all bucket shapes
+        t0 = time.perf_counter()
+        seen = set()
         for batch in loader:
             db = jax.device_put(batch)
             p, o, loss = train_step(p, o, db, rng, lr1, lr2)
+            shape = batch["ids"].shape
+            if shape not in seen:
+                seen.add(shape)
+                jax.block_until_ready(loss)
+                print(f"#   {name} compiled {shape} at +{time.perf_counter() - t0:.0f}s", flush=True)
         jax.block_until_ready(loss)
+        print(f"# {name} warm epoch done +{time.perf_counter() - t0:.0f}s", flush=True)
         # epoch 1: timed, device-feed prefetched like the driver
         batches = [jax.device_put(x) for x in loader]
         n_ex = users
         t0 = time.perf_counter()
         for db in batches:
             p, o, loss = train_step(p, o, db, rng, lr1, lr2)
-        jax.block_until_ready(loss)
+        jax.block_until_ready((p, loss))
         dt = time.perf_counter() - t0
         results[name] = n_ex / dt
         print(
@@ -110,7 +122,8 @@ def main():
             f"({len(batches)} steps, final loss {float(loss):.4f})",
             flush=True,
         )
-    print(f"speedup: {results['bucketed'] / results['padded']:.2f}x", flush=True)
+    if len(results) == 2:
+        print(f"speedup: {results['bucketed'] / results['padded']:.2f}x", flush=True)
 
 
 if __name__ == "__main__":

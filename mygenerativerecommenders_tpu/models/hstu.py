@@ -83,6 +83,10 @@ class HSTUBlock(nn.Module):
     # zigzag (load-balanced) sequence layout for the ring: device p holds
     # the chunk pair (p, 2P-1-p), halving per-step causal attention work.
     sp_zigzag: bool = False
+    # >1: shard attention HEADS over the "model" mesh axis inside the
+    # ring shard_map (Megatron TP composed with SP) — each device runs
+    # the ring on num_heads/tp_shards local heads.
+    tp_shards: int = 1
 
     @nn.compact
     def __call__(
@@ -215,7 +219,18 @@ class HSTUBlock(nn.Module):
             vh = jnp.pad(vh, widths)
             timestamps = jnp.pad(timestamps, ((0, 0), (0, pad)), mode="edge")
         dp, sp_name = self.sp_mesh_axes
-        seq = P(dp, sp_name, None, None)
+        # TP x SP: with tp_shards > 1 the head axis is sharded over the
+        # "model" mesh axis, so each device's ring body sees
+        # num_heads / tp_shards local heads (attention is per-head, the
+        # body is unchanged). GSPMD inserts the reshard from the
+        # column-sharded uvqk layout at shard_map entry.
+        head_axis = "model" if self.tp_shards > 1 else None
+        if self.tp_shards > 1 and self.num_heads % self.tp_shards:
+            raise ValueError(
+                f"num_heads {self.num_heads} must divide by tp_shards "
+                f"{self.tp_shards} for head-sharded ring attention"
+            )
+        seq = P(dp, sp_name, head_axis, None)
         local = (
             ra.ring_hstu_attention_zigzag_local if self.sp_zigzag
             else ra.ring_hstu_attention_local
@@ -275,6 +290,8 @@ class HSTU(nn.Module):
     # zigzag (load-balanced) sequence layout for the ring: device p holds
     # the chunk pair (p, 2P-1-p), halving per-step causal attention work.
     sp_zigzag: bool = False
+    # shard heads over "model" inside the ring shard_map (TP x SP)
+    tp_shards: int = 1
     # rematerialize each block under jax.checkpoint (see EncoderConfig.remat)
     remat: bool = False
 
@@ -334,6 +351,7 @@ class HSTU(nn.Module):
                 sp_shards=self.sp_shards,
                 sp_mesh_axes=self.sp_mesh_axes,
                 sp_zigzag=self.sp_zigzag,
+                tp_shards=self.tp_shards,
                 name=f"block_{i}",
             )
             x = apply_block(block, x, timestamps, kernel_lengths)

@@ -152,6 +152,7 @@ class GenerativeRecommender(nn.Module):
                 use_pallas=_resolve_use_pallas(enc.use_pallas),
                 sp_shards=enc.sp_shards,
                 sp_zigzag=enc.sp_zigzag,
+                tp_shards=enc.tp_shards,
                 remat=enc.remat,
             )
         elif enc.kind == "sasrec":

@@ -102,11 +102,8 @@ class Trainer:
             )
         model_axis = max(emb_shards, tp_shards)
         sp_axis = cfg.model.encoder.sp_shards if cfg.model.encoder.kind == "hstu" else 1
-        if tp_shards > 1 and sp_axis > 1:
-            raise ValueError(
-                "encoder.tp_shards is incompatible with sp_shards>1 (the "
-                "ring attention shard_map body consumes unsharded heads)"
-            )
+        # tp_shards x sp_shards compose: the ring shard_map shards heads
+        # over "model" (models/hstu.py _ring_attention head_axis)
         self.mesh = make_mesh(
             cfg.trainer.num_devices, model_axis=model_axis, sp_axis=sp_axis
         )

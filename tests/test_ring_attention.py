@@ -210,3 +210,73 @@ def test_trainer_sp_e2e(tmp_path):
         assert np.isfinite(results["ndcg@10"])
     finally:
         trainer.close()
+
+
+def test_tp_sp_composed_encoder_matches_unsharded(rng):
+    """TP x SP: heads sharded over "model" inside the ring shard_map on a
+    (data=2, model=2, sp=2) mesh must match the unsharded encoder
+    bit-for-tolerance, gradients included (the ROADMAP's head-sharded
+    composition item)."""
+    from mygenerativerecommenders_tpu.models.hstu import HSTU
+
+    mesh3 = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("data", "model", "sp")
+    )
+    b, n, d = 4, 24, 16
+    x = rng.normal(size=(b, n, d)).astype(np.float32) * 0.1
+    lengths = np.array([24, 10, 17, 5], dtype=np.int32)
+    mask = (np.arange(n)[None, :] < lengths[:, None]).astype(np.float32)
+    x = x * mask[:, :, None]
+    base = 978_000_000
+    ts = (np.sort(rng.integers(0, 10**7, size=(b, n)), axis=1) + base).astype(
+        np.int32
+    ) * (mask > 0)
+
+    def build(sp, tp):
+        return HSTU(
+            max_sequence_len=16,
+            max_output_len=8,
+            embedding_dim=d,
+            num_blocks=2,
+            num_heads=2,
+            linear_dim=8,
+            attention_dim=8,
+            sp_shards=sp,
+            tp_shards=tp,
+        )
+
+    ref_model = build(1, 1)
+    params = ref_model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(lengths),
+        jnp.asarray(x),
+        jnp.asarray(mask[:, :, None]),
+        {"timestamps": jnp.asarray(ts)},
+    )
+
+    def run(model):
+        def loss(p, xx):
+            out = model.apply(
+                p,
+                jnp.asarray(lengths),
+                xx,
+                jnp.asarray(mask[:, :, None]),
+                {"timestamps": jnp.asarray(ts)},
+                deterministic=True,
+            )
+            return (out ** 2).sum(), out
+
+        (l, out), grads = jax.value_and_grad(loss, has_aux=True)(
+            params, jnp.asarray(x)
+        )
+        return np.asarray(out), l, grads
+
+    want_out, want_l, want_g = run(ref_model)
+    with jax.set_mesh(mesh3):
+        got_out, got_l, got_g = run(build(2, 2))
+    np.testing.assert_allclose(got_out, want_out, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(got_g), jax.tree.leaves(want_g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=3e-5, atol=3e-5
+        )
