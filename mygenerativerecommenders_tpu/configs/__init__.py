@@ -226,6 +226,8 @@ class DataConfig:
     expected_max_item_id: int = 3952
     # synthetic fallback (no-egress environments)
     synthetic_num_users: int = 2048
+    # item-quality-correlated synthetic ratings (learnable ranking task)
+    synthetic_rating_quality: bool = False
     item_year_feature: bool = False
     # per-user scalar feature columns to carry into batches (aux variant)
     additional_columns: Tuple[str, ...] = ()

@@ -261,3 +261,19 @@ def synthetic_large_vocab() -> Config:
     cfg.model.metrics.at_k_list = (10, 50, 100, 200)
     cfg.trainer.monitor = "val/ndcg@100"
     return cfg
+
+
+@register("synthetic-rank")
+def synthetic_rank() -> Config:
+    """Ranking-recipe convergence study on learnable synthetic data:
+    ratings drawn around a per-item latent quality
+    (data.synthetic_rating_quality), so AUROC/AP/precision/recall must
+    rise well above chance — the ranking analog of PARITY.md's retrieval
+    convergence bands."""
+    cfg = ml_1m_rank()
+    cfg.data.dataset_name = "synthetic-rankq"
+    cfg.data.synthetic_rating_quality = True
+    cfg.data.synthetic_num_users = 2048
+    cfg.trainer.max_epochs = 30
+    cfg.trainer.min_epochs = 5
+    return cfg

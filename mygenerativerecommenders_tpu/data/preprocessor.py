@@ -250,6 +250,15 @@ class SyntheticDataProcessor(DataProcessor):
     max_seq_len: int = 200
     seed: int = 0
     missing_item_fraction: float = 0.0  # fraction of [1, max_item_id] absent
+    # ratings drawn around a per-USER latent bias + per-item quality
+    # instead of uniform — makes the RANKING task learnable for recipe
+    # convergence studies: the eval protocol predicts the rating of the
+    # UNSEEN next item (reference ranking.py:24-47), so the learnable
+    # signal must live in the history (user bias; the history's rating
+    # tokens reveal it), with the item term as noise-like variation.
+    # Uses a separate rng stream so item/timestamp sequences stay
+    # byte-identical to rating_by_item_quality=False.
+    rating_by_item_quality: bool = False
 
     def __post_init__(self):
         if self.expected_num_unique_items == 0:
@@ -265,6 +274,12 @@ class SyntheticDataProcessor(DataProcessor):
         pop = 1.0 / np.arange(1, self.num_items + 1) ** 0.8  # zipf-ish
         pop /= pop.sum()
 
+        rng_q = np.random.default_rng(self.seed + 1)
+        quality = rng_q.normal(0.0, 0.5, size=self.num_items)  # item term
+        quality_of_id = np.zeros(self.max_item_id + 1)
+        quality_of_id[catalog] = quality
+        user_bias = rng_q.normal(3.0, 1.1, size=self.num_users + 1)
+
         rows = []
         base_ts = 978_000_000  # ~2001, ml-1m-era timestamps
         for u in range(1, self.num_users + 1):
@@ -272,6 +287,15 @@ class SyntheticDataProcessor(DataProcessor):
             items = catalog[rng.choice(self.num_items, size=n, p=pop)]
             ts = np.sort(base_ts + rng.integers(0, 3 * 365 * 86400, size=n))
             ratings = rng.integers(1, 6, size=n)
+            if self.rating_by_item_quality:
+                ratings = np.clip(
+                    np.rint(
+                        user_bias[u]
+                        + quality_of_id[items]
+                        + rng_q.normal(0, 0.5, size=n)
+                    ),
+                    1, 5,
+                ).astype(np.int64)
             rows.append(
                 {
                     "user_id": u,

@@ -10,16 +10,21 @@ HBM traffic is O(B*N*D) instead of O(B*N^2):
   out[b,n,h,:] = sum_m  silu(q.k + pos_bias[n,m] + ts_w[bucket(dt)]) / N
                        * causal(n,m) * v[b,m,h,:]
 
-- the position bias is batch-independent -> precomputed once as a tiny
-  [N_pad, N_pad] array and tiled into the kernel (256KB, free);
+- the position bias is batch-independent and block-Toeplitz (tile
+  content depends only on kj - qi), so ONE [BQ, NP] stripe serves every
+  tile via a lane slice — fetched once per pallas_call;
 - the time-bucket gather ts_w[bucket] is computed in-kernel as Mosaic
   lane gathers (take_along_axis against a lane-broadcast table chunk,
   one gather + select per 128 table lanes) — ~2x faster per tile than
   the previous select-accumulate bucket sweep and independent of the
   tile's bucket range (the sweep degraded on wide timestamp spans);
-- backward (training) recomputes through the jnp reference path via
-  custom_vjp — the fused kernel is the inference/serving fast path, and
-  the forward of training; bwd materializes the bias only transiently.
+- per-sequence `lengths` (scalar prefetch) bound the tile loops: query
+  and key tiles beyond each sequence's valid rows are never computed —
+  the jagged no-padding-waste property, exact by construction;
+- the backward is a fully-fused Pallas kernel that RECOMPUTES z tiles
+  flash-attention style (custom_vjp saves only the raw inputs — nothing
+  [N, N]-shaped survives the forward), forming dq/dk/dv in-kernel and
+  emitting only the head-summed dz for the bias-table gradients.
 
 Tile sizes: BQ = BK = 128 (MXU-native), head dim padded to a multiple
 of 128 lanes handled by XLA layout (we pad to >=8 sublane, 128 lane
@@ -135,61 +140,6 @@ def _kernel(
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-
-
-def _fwd_train_kernel(
-    len_ref,  # scalar prefetch: [B*H] int32 per-sequence valid length
-    q_ref, k_ref, v_ref, tsq_ref, tsk_ref, posb_ref, tsw_ref,
-    out_ref,  # [1, BQ, DV]
-    z_ref,  # out [1, BQ, NP] — saved pre-activation logits (s + bias)
-    *,
-    bq: int,
-    bk: int,
-    num_buckets: int,
-    inv_n: float,
-    n_valid: int,
-):
-    """Training forward: identical math to _kernel, additionally writes the
-    z = q.k^T + bias stripes so the backward never re-runs the bucket
-    sweep. Tiles beyond the causal frontier OR beyond this sequence's
-    valid length are left unwritten — the backward masks them with a
-    select (live = kj <= qi and kj*bk < len), never arithmetic."""
-    qi = pl.program_id(2)
-    seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
-
-    q = q_ref[0].astype(jnp.float32)
-    tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
-    acc = jnp.zeros((bq, v_ref.shape[2]), dtype=jnp.float32)
-    row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-
-    def body(kj, acc):
-        k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
-        v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)
-        tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
-        s = jax.lax.dot_general(
-            q, k_tile, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        n_q = z_ref.shape[2] // bk
-        bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(jnp.float32)
-        delta = tsq[:, None] - tsk[None, :]
-        bucket = bucketize_timedelta(delta, num_buckets)
-        z = s + bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
-        z_ref[0, :, pl.ds(kj * bk, bk)] = z
-
-        a = jax.nn.silu(z) * inv_n
-        col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        in_range = jnp.logical_and(col_ids < seq_len, row_ids < seq_len)
-        a = jnp.where(
-            jnp.logical_and(row_ids >= col_ids, in_range), a, 0.0
-        )
-        return acc + jax.lax.dot_general(
-            a, v_tile, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    n_kj = jnp.minimum(qi + 1, (seq_len + bk - 1) // bk)
-    n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
-    acc = jax.lax.fori_loop(0, n_kj, body, acc)
-    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def hstu_attention_fused(
@@ -330,10 +280,10 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 
 
 # --------------------------------------------------------------------------
-# Fully-fused backward from saved z: the training forward
-# (_fwd_train_kernel) writes z = q.k^T + bias, so the backward needs NO
-# bucket work — it reads z, forms (dz, p) per tile IN VMEM, and contracts
-# them on the spot:
+# Fully-fused backward with in-kernel z RECOMPUTE (flash-attention style):
+# the training forward is the plain inference kernel (no residual writes);
+# the backward regenerates z = q.k^T + pos_bias + ts_bias per live tile
+# from the raw inputs and contracts on the spot:
 #
 #   sig = sigmoid(z)
 #   p  = z * sig * (1/N) * mask                      (the fwd attention)
@@ -342,17 +292,17 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 #   dq = dz @ k ; dk = dz^T @ q ; dv = p^T @ g       (in-kernel)
 #   d_pos_w[(m-n)+N-1] += sum_b dz ; d_ts_w[bucket(dt)] += dz
 #
-# The only [B, N, N]-shaped HBM output is the HEAD-SUMMED dz (what the
-# bias-table gradients consume — buckets/offsets are head-independent),
-# so per block the old 2x [B*H, NP, NP] (dz, p) stripe round trip
-# (written once, read ~4x by the dq/dk/dv einsums + bias grads) shrinks
-# to one [B, NP, NP] write. Grid is (b, qi, h) with h INNERMOST so the
-# dzh output block (index (b, qi), constant across h) accumulates across
+# vs the previous saved-z design this removes the [B*H, NP, NP] f32 z
+# residual entirely — 1.4 GB of HBM at ml-20m-long shapes (which forced
+# encoder.remat at B=128) plus its write+read traffic, at the cost of one
+# extra dot + the bias generation per LIVE tile. Dead tiles (beyond the
+# causal frontier or the sequence length) skip all five dots via
+# lax.cond. The only [B, N, N]-shaped HBM output is the HEAD-SUMMED dz
+# (what the bias-table gradients consume — buckets/offsets are
+# head-independent). Grid is (b, qi, h) with h INNERMOST so the dzh
+# output block (index (b, qi), constant across h) accumulates across
 # consecutive steps in VMEM; dk/dv accumulate across qi in per-b resident
 # [H, NP, D] output blocks (index (b,), written once per b).
-# At ml-20m-hstu-long (N=1024+11, H=2, 8 blocks) this took the step
-# 100.9 -> ~84 ms; math identical to the stripe path up to summation
-# order. No [B, N, N] gather/scatter ever hits XLA.
 # --------------------------------------------------------------------------
 
 
@@ -362,7 +312,10 @@ def _bwd_fused_kernel(
     v_ref,  # [1, H, NP, DV]  resident per b
     q_ref,  # [1, BQ, D]      (b*H+h, qi)
     g_ref,  # [1, BQ, DV]     cotangent tile (b*H+h, qi)
-    z_ref,  # [1, BQ, NP]     saved logits from the training forward
+    tsq_ref,  # [1, 1, NP] next-item timestamps (per b)
+    tsk_ref,  # [1, 1, NP] key timestamps (per b)
+    posb_ref,  # [BQ, NP] block-Toeplitz positional stripe
+    tsw_ref,  # [1, lane-padded NB+1] time-bucket table
     dq_ref,  # out [1, BQ, D]
     dk_ref,  # out [1, H, NP, D]   accumulated across qi (resident per b)
     dv_ref,  # out [1, H, NP, DV]
@@ -370,6 +323,7 @@ def _bwd_fused_kernel(
     *,
     bq: int,
     bk: int,
+    num_buckets: int,
     inv_n: float,
     n_valid: int,
 ):
@@ -377,19 +331,21 @@ def _bwd_fused_kernel(
     h = pl.program_id(2)
     np_total = k_ref.shape[2]
     n_k_blocks = np_total // bk
+    n_q = np_total // bk
     seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
+    tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     d_dim, dv_dim = k_ref.shape[3], v_ref.shape[3]
 
     def body(kj, dq_blk):
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         # tiles past the causal frontier OR past this sequence's length
-        # hold garbage z (the fwd never wrote them) and contribute zeros;
-        # lax.cond skips their 4 dots outright (the writes below still
-        # run so the accumulated dk/dv/dzh out blocks are initialized)
+        # contribute zeros; lax.cond skips their five dots outright (the
+        # writes below still run so the accumulated dk/dv/dzh out blocks
+        # are initialized)
         live = jnp.logical_and(kj <= qi, kj * bk < seq_len)
         live = jnp.logical_and(live, qi * bq < seq_len)
 
@@ -399,7 +355,18 @@ def _bwd_fused_kernel(
             mask = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
             mask = jnp.logical_and(mask, row_ids < seq_len)
 
-            z = z_ref[0, :, pl.ds(kj * bk, bk)].astype(jnp.float32)
+            # recompute z exactly as the forward kernel does
+            s = jax.lax.dot_general(
+                q, k_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(
+                jnp.float32
+            )
+            tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
+            delta = tsq[:, None] - tsk[None, :]
+            bucket = bucketize_timedelta(delta, num_buckets)
+            z = s + bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
             sig = jax.nn.sigmoid(z)
             p = jnp.where(mask, z * sig * inv_n, 0.0)
 
@@ -557,65 +524,7 @@ def _pos_toeplitz(pos_w, np_total, max_len, bq, bk):
     return flat[:, :np_total].astype(jnp.float32)
 
 
-def _fused_fwd_train_impl(
-    q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
-):
-    """Training forward: returns (out, z) with z saved for the backward."""
-    pr = _prepare(q, k, v, timestamps, max_len)
-    bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
-    pos_bias = _pos_toeplitz(pos_w, np_total, max_len, bq, bk)  # [BQ, NP]
-    # lane-pad the table so the chunked lane gather's 128-wide slices
-    # never run past the array (no-op at the reference's 129 entries,
-    # where the final chunk is a single select)
-    nb1 = ts_w.shape[0]
-    ts_w_2d = jnp.pad(
-        ts_w.reshape(1, -1).astype(jnp.float32),
-        ((0, 0), (0, _round_up(nb1, 128) - nb1)),
-    )
-    grid = (pr["b"] * pr["h"], 1, np_total // bq)
-    lens_bh = jnp.repeat(lengths, pr["h"]) if pr["h"] > 1 else lengths
-
-    out, z = pl.pallas_call(
-        functools.partial(
-            _fwd_train_kernel,
-            bq=bq, bk=bk, num_buckets=num_buckets,
-            inv_n=1.0 / max_len, n_valid=pr["n"],
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, pr["d_pad"]), lambda bh, _, qi, lens: (bh, qi, 0)),
-                pl.BlockSpec((1, np_total, pr["d_pad"]), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, np_total, pr["dv_pad"]), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((bq, np_total), lambda bh, _, qi, lens: (0, 0)),
-                pl.BlockSpec(
-                    (1, _round_up(num_buckets + 1, 128)),
-                    lambda bh, _, qi, lens: (0, 0),
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, bq, pr["dv_pad"]), lambda bh, _, qi, lens: (bh, qi, 0)),
-                pl.BlockSpec((1, bq, np_total), lambda bh, _, qi, lens: (bh, qi, 0)),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((grid[0], np_total, pr["dv_pad"]), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], np_total, np_total), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(lens_bh, pr["qf"], pr["kf"], pr["vf"], pr["ts_next"], pr["ts_key"], pos_bias, ts_w_2d)
-
-    n, dv_dim = pr["n"], pr["dv"]
-    out = out[:, :n, :dv_dim].reshape(pr["b"], pr["h"], n, dv_dim).transpose(0, 2, 1, 3)
-    return out, z
-
-
-def _fused_bwd_impl(q, k, v, timestamps, lengths, z, max_len, num_buckets, g):
+def _fused_bwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets, g):
     pr = _prepare(q, k, v, timestamps, max_len)
     bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
     b, h, n = pr["b"], pr["h"], pr["n"]
@@ -626,11 +535,19 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, z, max_len, num_buckets, g):
     k4 = pr["kf"].reshape(b, h, np_total, d_pad)
     v4 = pr["vf"].reshape(b, h, np_total, dv_pad)
     grid = (b, np_total // bq, h)
+    # per-b timestamp rows (stride h: _prepare repeats per head)
+    tsq_b, tsk_b = pr["ts_next"][::h], pr["ts_key"][::h]
+    pos_bias = _pos_toeplitz(pos_w, np_total, max_len, bq, bk)  # [BQ, NP]
+    nb1 = ts_w.shape[0]
+    ts_w_2d = jnp.pad(
+        ts_w.reshape(1, -1).astype(jnp.float32),
+        ((0, 0), (0, _round_up(nb1, 128) - nb1)),
+    )
 
     dqf, dk4, dv4, dzh = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel,
-            bq=bq, bk=bk,
+            bq=bq, bk=bk, num_buckets=num_buckets,
             inv_n=1.0 / max_len, n_valid=n,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -641,7 +558,13 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, z, max_len, num_buckets, g):
                 pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
                 pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
                 pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
-                pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+                pl.BlockSpec((1, 1, np_total), lambda bi, qi, hi, lens: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, np_total), lambda bi, qi, hi, lens: (bi, 0, 0)),
+                pl.BlockSpec((bq, np_total), lambda bi, qi, hi, lens: (0, 0)),
+                pl.BlockSpec(
+                    (1, _round_up(num_buckets + 1, 128)),
+                    lambda bi, qi, hi, lens: (0, 0),
+                ),
             ],
             out_specs=[
                 pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
@@ -660,15 +583,13 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, z, max_len, num_buckets, g):
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * n * (pr["dqk"] + pr["dv"]),
-            bytes_accessed=4 * b * np_total * np_total * (h + 1),
+            flops=5 * b * h * n * n * (pr["dqk"] + pr["dv"]),
+            bytes_accessed=4 * b * np_total * np_total,
             transcendentals=b * h * n * n,
         ),
-    )(lengths, k4, v4, pr["qf"], gf, z)
+    )(lengths, k4, v4, pr["qf"], gf, tsq_b, tsk_b, pos_bias, ts_w_2d)
     # dzh is already head-summed in-kernel; ts rows are per-b (stride h)
-    dtw_out = _dtw_from_dz(
-        dzh, pr["ts_next"][::h], pr["ts_key"][::h], num_buckets
-    )
+    dtw_out = _dtw_from_dz(dzh, tsq_b, tsk_b, num_buckets)
 
     def unfold(x, d):
         return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
@@ -696,16 +617,19 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, z, max_len, num_buckets, g):
 
 
 def _fused_fwd(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
-    out, z = _fused_fwd_train_impl(
+    # flash-style: no activation residuals — the backward recomputes the
+    # z tiles from the raw inputs, so the training forward IS the
+    # inference kernel and nothing [N, N]-shaped is saved
+    out = _fused_fwd_impl(
         q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
     )
-    return out, (q, k, v, timestamps, lengths, z)
+    return out, (q, k, v, timestamps, lengths, pos_w, ts_w)
 
 
 def _fused_bwd(max_len, num_buckets, residuals, g):
-    q, k, v, timestamps, lengths, z = residuals
+    q, k, v, timestamps, lengths, pos_w, ts_w = residuals
     dq, dk, dv, dpw, dtw = _fused_bwd_impl(
-        q, k, v, timestamps, lengths, z, max_len, num_buckets, g
+        q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets, g
     )
     return dq, dk, dv, None, None, dpw, dtw
 

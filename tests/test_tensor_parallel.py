@@ -168,12 +168,14 @@ def test_tp_survives_scion_init(tmp_path):
 def test_tp_config_validations(tmp_path):
     from mygenerativerecommenders_tpu.train.driver import Trainer
 
+    # TP x SP compose (head-sharded ring), but num_heads must divide by
+    # tp_shards — synthetic-smoke has 1 head
     cfg = get_preset("synthetic-smoke")
     cfg.data.data_dir = str(tmp_path / "data")
     cfg.trainer.output_dir = str(tmp_path / "out")
     cfg.model.encoder.tp_shards = 2
     cfg.model.encoder.sp_shards = 2
-    with pytest.raises(ValueError, match="sp_shards"):
+    with pytest.raises(ValueError, match="num_heads"):
         Trainer(cfg)
 
     cfg2 = get_preset("synthetic-smoke")

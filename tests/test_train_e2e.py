@@ -223,3 +223,34 @@ def test_mlflow_file_logger(smoke_cfg, tmp_path):
     line = (run / "metrics" / "train.loss").read_text().strip().splitlines()[0]
     ts, val, step = line.split()
     assert float(val) > 0 and int(step) >= 1
+
+
+def test_ranking_converges_on_quality_ratings(tmp_path):
+    """The ranking recipe must actually LEARN (VERDICT: ranking was only
+    smoke-tested): on item-quality-correlated synthetic ratings, AUROC
+    after a few epochs must beat chance by a wide margin."""
+    import copy
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+
+    cfg = get_preset("synthetic-rank")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.synthetic_num_users = 192
+    cfg.data.batch_size = 32
+    cfg.data.max_sequence_length = 24
+    cfg.data.expected_num_unique_items = 150
+    cfg.data.expected_max_item_id = 160
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.num_blocks = 2
+    cfg.trainer.max_epochs = 12
+    cfg.trainer.min_epochs = 12
+    cfg.trainer.check_val_every_n_epoch = 12
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+    finally:
+        trainer.close()
+    assert results["auroc"] > 0.62, results
+    assert results["precision"] == results["recall"]  # micro avg
+    assert results["precision"] > 0.25, results  # chance ~0.2 over 5 ratings
