@@ -84,6 +84,78 @@ def main():
         "unit": f"q/s (X={num_items}, k=200)",
     }))
 
+    # int8 pre-ranked eval step (index.quantize=int8 serving fast path)
+    import copy
+
+    cfg8 = copy.deepcopy(cfg)
+    cfg8.model.index.quantize = "int8"
+    eval_step8 = make_eval_step(model, cfg8, all_ids, num_items)
+    candidate_fn8 = make_candidate_fn(model, cfg8, all_ids)
+    cand8 = candidate_fn8(params)
+    ids8, scores8 = eval_step8(params, dev, cand8)
+    float(scores8.sum())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ids8, scores8 = eval_step8(params, dev, cand8)
+    float(scores8.sum())
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "eval_step_int8_queries_per_sec",
+        "value": round(b * n / dt, 1),
+        "unit": f"q/s (X={num_items}, int8 pre-rank + exact rescore)",
+    }))
+
+    # autoregressive generation (greedy / sample / beam), 5 steps
+    import jax as _jax
+
+    from mygenerativerecommenders_tpu.models import decode as dec
+    from mygenerativerecommenders_tpu.ops.sequence import get_current_embeddings  # noqa: F401
+
+    cat_emb = candidates
+    steps = 5
+
+    def bench_gen(name, fn):
+        run = _jax.jit(fn)
+        out = run(params, dev)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = run(params, dev)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"generate_{name}_seqs_per_sec",
+            "value": round(b * 5 / dt, 1),
+            "unit": f"seq/s (X={num_items}, {steps} decode steps)",
+        }))
+
+    def greedy(params, batch):
+        seq, _, _ = seq_features_from_batch(batch, 11)
+        return dec.greedy_generate(
+            model, params, seq, cat_emb, jnp.asarray(all_ids),
+            steps=steps, max_item_id=num_items,
+        )
+
+    def sample(params, batch):
+        seq, _, _ = seq_features_from_batch(batch, 11)
+        return dec.sample_generate(
+            model, params, seq, cat_emb, jnp.asarray(all_ids),
+            steps=steps, max_item_id=num_items, rng=jax.random.PRNGKey(0),
+            temperature=1.0, top_k=50, top_p=0.0,
+        )
+
+    def beam(params, batch):
+        seq, _, _ = seq_features_from_batch(batch, 11)
+        ids, _ = dec.beam_generate(
+            model, params, seq, cat_emb, jnp.asarray(all_ids),
+            steps=steps, max_item_id=num_items, num_beams=4,
+        )
+        return ids
+
+    bench_gen("greedy", greedy)
+    bench_gen("sample", sample)
+    bench_gen("beam4", beam)
+
 
 if __name__ == "__main__":
     main()
