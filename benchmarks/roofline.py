@@ -1,13 +1,33 @@
-"""Roofline / MFU accounting for the hot kernels and whole train steps.
+"""Roofline / MFU accounting for the hot kernels and full train steps.
 
-For each measured region this prints: analytic FLOPs, HBM bytes, achieved
-TFLOP/s and GB/s, percent of the chip's peaks, and which roof binds
-(MXU / HBM / neither => overhead- or VPU-bound). Peaks are for the chip
-family reported by jax.devices() (v5e/"TPU v5 lite" by default; override
-with PEAK_TFLOPS / PEAK_GBS env vars).
+Measures wall time on the real chip and pairs every number with an
+ANALYTIC count of useful FLOPs and minimal HBM bytes, so each
+"near a hardware floor" claim in PERFORMANCE.md has a number vs peak
+next to it (VERDICT round-1 item 3).
 
-Usage: python benchmarks/roofline.py [b] [n]   (defaults 128 1035)
-Writes a markdown table to stdout — pasted into PERFORMANCE.md.
+FLOP conventions (useful work, not padded work):
+- attention fwd: 2 MXU dots per live (qi, kj) tile pair
+  -> 2*BQ*BK*(Dqk + Dv) flops; live pairs counted from the per-sequence
+  lengths exactly as the kernel's lax.cond skips do
+  (ops/pallas/hstu_attention.py).
+- attention bwd: 5 dots per live tile (qk recompute, dp, dq, dk, dv)
+  -> 2*BQ*BK*(3*Dqk + 2*Dv).
+- sampled-softmax lse fwd: the [BT, D] @ [D, X] logits matmul
+  -> 2*BT*X*D; bwd: dq ([BT,X]@[X,D]) + dcat ([X,BT]@[BT,D]) + one
+  logits recompute per bwd kernel family -> ~3x fwd per pass counted
+  explicitly below.
+- COUNT histogram (count_offsets_b): one-hot einsum over R samples
+  -> 2*BT*R*Xpad (operands are one-hot bf16/u8 — MXU utilization is
+  structurally low; that is the point of measuring it).
+
+Peaks used (TPU v5e / "v5 lite", per chip):
+  MXU bf16  197 TF/s   (f32 inputs run through the same MXU here;
+                        measured in-session dense-dot ceilings are
+                        ~112 TF/s f32 / ~131 TF/s bf16 at these shapes)
+  HBM       819 GB/s
+
+Usage: python benchmarks/roofline.py [--quick]
+Prints a markdown table (stdout); progress notes on stderr.
 """
 
 from __future__ import annotations
@@ -16,166 +36,381 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# TPU v5e (one chip): 197 TFLOP/s bf16; f32 matmul runs as multi-pass
-# bf16 (~112 TF/s measured on this chip, PERFORMANCE.md); HBM 819 GB/s.
-PEAK_TFLOPS_BF16 = float(os.environ.get("PEAK_TFLOPS", "197"))
-PEAK_TFLOPS_F32 = float(os.environ.get("PEAK_TFLOPS_F32", "112"))
-PEAK_GBS = float(os.environ.get("PEAK_GBS", "819"))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_MXU = 197e12  # bf16 TPU v5e
+PEAK_MXU_F32_MEASURED = 112e12  # in-session dense f32 dot ceiling
+PEAK_HBM = 819e9
+
+BQ = BK = 128
 
 
-def timeit(f, *args, n=20):
-    out = f(*args)
-    _ = float(np.asarray(jax_leaf(out)).reshape(-1)[0])  # host pull (tunnel quirk)
-    t0 = time.perf_counter()
-    for _i in range(n):
-        out = f(*args)
-    _ = float(np.asarray(jax_leaf(out)).reshape(-1)[0])
-    return (time.perf_counter() - t0) / n
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def jax_leaf(tree):
-    import jax
+def _sync(out):
+    # the axon tunnel's block_until_ready has been seen to return early
+    # (see bench.py); a host pull of a concrete value guarantees the
+    # device chain completed
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
 
-    return jax.tree.leaves(tree)[0]
+
+def timeit_chain(step, carry, k=16, trials=3):
+    """Time k chained applications of `step` inside ONE jitted call.
+
+    One dispatch + one host pull per trial keeps the measurement robust
+    to the axon tunnel's per-call latency; the carry chain (each
+    iteration consumes the previous output) prevents XLA from hoisting
+    loop-invariant work out of the scan. Returns min-over-trials seconds
+    per application.
+    """
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda c, _: (step(c), None), c, None, length=k)[0]
+
+    out = run(carry)
+    _sync(out)  # compile + warmup
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = run(carry)
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
 
 
-def report(name, seconds, flops, bytes_, dtype="f32", note=""):
-    tf = flops / seconds / 1e12
-    gbs = bytes_ / seconds / 1e9
-    peak_tf = PEAK_TFLOPS_F32 if dtype == "f32" else PEAK_TFLOPS_BF16
-    pct_mxu = 100 * tf / peak_tf
-    pct_hbm = 100 * gbs / PEAK_GBS
-    bound = "MXU" if pct_mxu > pct_hbm else "HBM"
-    if max(pct_mxu, pct_hbm) < 25:
-        bound = "VPU/overhead"
-    print(
-        f"| {name} | {seconds * 1e3:8.2f} | {flops / 1e9:9.1f} | {bytes_ / 1e6:8.0f} "
-        f"| {tf:6.1f} | {pct_mxu:5.1f}% | {gbs:6.0f} | {pct_hbm:5.1f}% | {bound} | {note} |",
-        flush=True,
+def live_tile_pairs(lengths, n, include_dead_q=False):
+    """Sum over sequences of live causal (qi, kj) tile pairs, matching the
+    kernel's skip condition: kj <= qi, kj*BK < len, qi*BQ < len."""
+    total = 0
+    for ln in np.asarray(lengths):
+        t = int(np.ceil(min(int(ln), n) / BK))
+        total += t * (t + 1) // 2
+    return total
+
+
+def attn_flops(lengths, n, h, dqk, dv, bwd=False):
+    pairs = live_tile_pairs(lengths, n)
+    per_tile = 2 * BQ * BK * ((3 * dqk + 2 * dv) if bwd else (dqk + dv))
+    return pairs * h * per_tile
+
+
+def rand_attn_inputs(b, n, h, dqk, dv, lengths, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, n, h, dqk)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, dqk)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, dv)), jnp.float32)
+    mask = (np.arange(n)[None, :] < np.asarray(lengths)[:, None]).astype(
+        np.float32
     )
+    q = q * mask[:, :, None, None]
+    k = k * mask[:, :, None, None]
+    v = v * mask[:, :, None, None]
+    ts = np.sort(
+        978_000_000 + rng.integers(0, 10**8, size=(b, n)), axis=1
+    ).astype(np.int32)
+    pos_w = jnp.asarray(rng.standard_normal(2 * n - 1) * 0.02, jnp.float32)
+    ts_w = jnp.asarray(rng.standard_normal(129) * 0.02, jnp.float32)
+    return q, k, v, jnp.asarray(ts), pos_w, ts_w
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/mygenerativerecommenders_tpu/xla"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def bench_attention(rows, iters):
     from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
         hstu_attention_fused,
     )
 
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1035
-    h, d = 2, 25
+    cases = [
+        # name, b, n, h, dqk, dv, length mode
+        ("attn ml-1m (B=128,N=211,H=1,D=50)", 128, 211, 1, 50, 50, "uniform"),
+        ("attn ml-20m-long full (B=32,N=1035,H=2,D=32)", 32, 1035, 2, 32, 32, "full"),
+        ("attn ml-20m-long realistic (mean~157)", 32, 1035, 2, 32, 32, "lognormal"),
+    ]
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
-    v = jnp.asarray(rng.normal(size=(b, n, h, d)).astype(np.float32))
-    ts = jnp.asarray(
-        np.sort(rng.integers(1000, 10**6, size=(b, n)), axis=1).astype(np.int32)
-    )
-    pos_w = jnp.asarray(rng.normal(size=(2 * n - 1,)).astype(np.float32) * 0.02)
-    ts_w = jnp.asarray(rng.normal(size=(129,)).astype(np.float32) * 0.02)
-    lens_real = np.clip(rng.lognormal(4.6, 0.9, size=b).astype(np.int32), 20, n)
-    full = jnp.full((b,), n, dtype=jnp.int32)
-    short = jnp.asarray(lens_real)
+    for name, b, n, h, dqk, dv, mode in cases:
+        if mode == "full":
+            lengths = np.full(b, n, np.int32)
+        elif mode == "uniform":
+            lengths = rng.integers(20, n - 11, size=b).astype(np.int32)
+        else:
+            lengths = np.clip(
+                rng.lognormal(4.6, 0.9, size=b).astype(np.int32), 20, n
+            )
+        q, k, v, ts, pw, tw = rand_attn_inputs(b, n, h, dqk, dv, lengths)
+        ln = jnp.asarray(lengths)
 
-    print(f"# B={b} N={n} H={h} D={d} mean_len={lens_real.mean():.0f}")
-    print(
-        "| region | ms | GFLOP | MB | TF/s | %MXU | GB/s | %HBM | bound | note |"
-    )
-    print("|---|---|---|---|---|---|---|---|---|---|")
+        def fwd_step(qc):
+            out = hstu_attention_fused(qc, k, v, ts, pw, tw, n, 128, lengths=ln)
+            return qc + 1e-30 * out[..., :dqk]
 
-    np_pad = ((n + 127) // 128) * 128
-    d_pad = 128
+        t_fwd = timeit_chain(fwd_step, q, k=iters)
+        f_fwd = attn_flops(lengths, n, h, dqk, dv)
+        # minimal HBM: q,k,v read once per (b,h); out written once
+        bytes_fwd = 4 * b * n * h * (3 * dqk + dv) + 4 * b * n  # + ts
+        rows.append((name + " fwd", t_fwd, f_fwd, bytes_fwd, "MXU/VPU"))
 
-    def attn_stats(lengths):
-        # causal live tiles per sequence: l(l+1)/2 of 128x128 tiles
-        lq = np.ceil(np.minimum(np.asarray(lengths), n) / 128).astype(np.int64)
-        tiles = (lq * (lq + 1) // 2).sum() * h
-        flops = 2 * tiles * 128 * 128 * d_pad * 2  # qk + av dots, padded D
-        # bytes: q/k/v/out per bh + live z-equivalents are VMEM-resident;
-        # HBM traffic ~ q + k + v + out arrays once each (padded layout)
-        bytes_ = 4 * (4 * b * h * np_pad * d_pad)
-        return flops, bytes_
+        def loss(qc, pwc, twc):
+            return hstu_attention_fused(
+                qc, k, v, ts, pwc, twc, n, 128, lengths=ln
+            ).sum()
 
-    fwd = jax.jit(
-        lambda lens: hstu_attention_fused(
-            q, k, v, ts, pos_w, ts_w, n, 128, lengths=lens
+        def grad_step(carry):
+            # bias-table grads included: the d_pos/d_ts_w fusions reading
+            # the head-summed dz stripe are a real cost at long N
+            qc, pwc, twc = carry
+            dq, dpw, dtw = jax.grad(loss, argnums=(0, 1, 2))(qc, pwc, twc)
+            return (qc + 1e-30 * dq, pwc + 1e-30 * dpw, twc + 1e-30 * dtw)
+
+        t_full = timeit_chain(grad_step, (q, pw, tw), k=iters)
+        npad = int(np.ceil(n / 128) * 128)
+        f_bwd = attn_flops(lengths, n, h, dqk, dv, bwd=True)
+        # bwd HBM floor: the head-summed dz stripe [B, NP, NP] f32 is
+        # written by the kernel and re-read by the bias-grad fusions
+        bytes_bwd = 2 * 4 * b * npad * npad + 3 * 4 * b * n * h * (dqk + dv)
+        rows.append(
+            (
+                name + " fwd+bwd",
+                t_full,
+                f_fwd + f_bwd,
+                bytes_fwd + bytes_bwd,
+                "MXU + dz HBM",
+            )
         )
-    )
-    fl, by = attn_stats(full)
-    report("attn fwd (full-length)", timeit(fwd, full), fl, by, note="padded D=128")
-    fl, by = attn_stats(short)
-    report("attn fwd (real lengths)", timeit(fwd, short), fl, by, note="jagged skip")
+        _log(f"{name}: fwd {t_fwd*1e3:.2f} ms, fwd+bwd {t_full*1e3:.2f} ms")
 
-    def loss(q_, lens):
-        return (
-            hstu_attention_fused(q_, k, v, ts, pos_w, ts_w, n, 128, lengths=lens) ** 2
-        ).sum()
 
-    gr = jax.jit(jax.grad(loss))
-
-    def grad_stats(lengths):
-        f_fwd, _ = attn_stats(lengths)
-        lq = np.ceil(np.minimum(np.asarray(lengths), n) / 128).astype(np.int64)
-        live = (lq * (lq + 1) // 2).sum() * h
-        # bwd: 4 dots per live tile (dp, dq, dk, dv) at padded D
-        f_bwd = 2 * live * 128 * 128 * d_pad * 4
-        # z: live tiles written by fwd, full stripes re-read by bwd
-        z_write = 4 * live * 128 * 128
-        z_read = 4 * b * h * np_pad * np_pad  # dead-stripe reads included
-        dzh = 2 * 4 * b * np_pad * np_pad  # head-summed dz write+read
-        io = 4 * (8 * b * h * np_pad * d_pad)
-        return f_fwd + f_bwd, z_write + z_read + dzh + io
-
-    fl, by = grad_stats(full)
-    report("attn fwd+bwd (full)", timeit(gr, q, full), fl, by, note="z stripes in HBM")
-    fl, by = grad_stats(short)
-    report("attn fwd+bwd (real)", timeit(gr, q, short), fl, by, note="")
-
-    # pure MXU roof check: big f32 and bf16 matmuls
-    m = 4096
-    a32 = jnp.asarray(rng.normal(size=(m, m)).astype(np.float32))
-    mm32 = jax.jit(lambda x: x @ x)
-    report(
-        "4096^3 matmul f32",
-        timeit(mm32, a32),
-        2 * m**3,
-        4 * 3 * m * m,
-        dtype="f32",
-        note="MXU roof probe",
-    )
-    a16 = a32.astype(jnp.bfloat16)
-    mm16 = jax.jit(lambda x: (x @ x))
-    report(
-        "4096^3 matmul bf16",
-        timeit(mm16, a16),
-        2 * m**3,
-        2 * 3 * m * m,
-        dtype="bf16",
-        note="",
+def bench_lse(rows, iters):
+    """Fused sampled-softmax lse at ml-1m and ml-20m shapes."""
+    from mygenerativerecommenders_tpu.ops.dense_negatives import (
+        sampled_softmax_dense_neg_lse,
     )
 
-    # HBM roof probe: big copy
-    big = jnp.asarray(rng.normal(size=(64, 1024, 1024)).astype(np.float32))
-    cp = jax.jit(lambda x: x * 1.000001)
-    report(
-        "elementwise copy 256MB",
-        timeit(cp, big),
-        big.size,
-        2 * 4 * big.size,
-        note="HBM roof probe",
-    )
+    for name, bt, d, x, r in [
+        ("lse ml-1m (BT=26880,X=3952,D=50)", 128 * 210, 50, 3952, 128),
+        ("lse ml-20m (BT=26880,X=26744,D=50)", 128 * 210, 50, 26744, 128),
+    ]:
+        rng = np.random.default_rng(0)
+        q2 = jnp.asarray(rng.standard_normal((bt, d)), jnp.float32)
+        q2 = q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
+        cat = jnp.asarray(rng.standard_normal((x, d)), jnp.float32)
+        cat = cat / jnp.linalg.norm(cat, axis=-1, keepdims=True)
+        offs = jnp.asarray(rng.integers(0, x, size=(bt, r)), jnp.int32)
+        pos = jnp.asarray(rng.integers(0, x, size=(bt,)), jnp.int32)
+
+        def fwd_step(q2c):
+            lse = sampled_softmax_dense_neg_lse(
+                q2c, cat, offs, pos, 0.05, use_pallas=True
+            )
+            return q2c + 1e-30 * lse[:, None]
+
+        t_fwd = timeit_chain(fwd_step, q2, k=iters)
+        xpad = int(np.ceil(x / 128) * 128)
+        f_logits = 2 * bt * x * d
+        f_count = 2 * bt * r * xpad  # one-hot histogram einsum
+        n_bt_tiles = int(np.ceil(bt / 256))  # bt_tile(x) >= 256
+        bytes_fwd = (
+            bt * xpad  # u8 count3 read
+            + 4 * bt * d  # q2
+            + 4 * x * d  # catalog (VMEM-resident per x-block)
+        )
+        rows.append(
+            (name + " fwd (logits+count)", t_fwd, f_logits + f_count,
+             bytes_fwd, "count-read HBM + MXU")
+        )
+
+        def lloss(q2c, catc):
+            return sampled_softmax_dense_neg_lse(
+                q2c, catc, offs, pos, 0.05, use_pallas=True
+            ).sum()
+
+        def grad_step(carry):
+            q2c, catc = carry
+            dq, dcat = jax.grad(lloss, argnums=(0, 1))(q2c, catc)
+            return (q2c + 1e-30 * dq, catc + 1e-30 * dcat)
+
+        t_full = timeit_chain(grad_step, (q2, cat), k=iters)
+        # bwd: dq kernel (recompute logits + dq dot) + dcat kernel
+        # (recompute + dcat dot) => 4 extra logits-sized dots + count
+        # re-read per kernel family
+        f_bwd = 4 * f_logits + f_count
+        bytes_bwd = 3 * bt * xpad + 2 * (4 * bt * d + 4 * x * d)
+        rows.append(
+            (name + " fwd+bwd", t_full, f_logits + f_count + f_bwd,
+             bytes_fwd + bytes_bwd, "count-read HBM + MXU")
+        )
+        _log(f"{name}: fwd {t_fwd*1e3:.2f} ms, fwd+bwd {t_full*1e3:.2f} ms")
+
+
+def bench_adamw_table(rows, iters):
+    """The embedding-table AdamW update at ml-20m scale (X=131262, D=50):
+    pure HBM-bound elementwise — the lazy_update target."""
+    import optax
+
+    x, d = 131262, 50
+    rng = np.random.default_rng(0)
+    p = {"w": jnp.asarray(rng.standard_normal((x, d)) * 0.02, jnp.float32)}
+    g = {"w": jnp.asarray(rng.standard_normal((x, d)) * 1e-3, jnp.float32)}
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.98, weight_decay=1e-3)
+    state = tx.init(p)
+
+    def step(carry):
+        p, state = carry
+        u, state = tx.update(g, state, p)
+        return optax.apply_updates(p, u), state
+
+    t = timeit_chain(step, (p, state), k=iters)
+    nb = x * d * 4
+    # read p, m, v, g; write p, m, v
+    rows.append(("AdamW table update (X=131262, D=50)", t, 10 * x * d,
+                 7 * nb, "HBM"))
+    _log(f"adamw table: {t*1e3:.3f} ms")
+
+
+def encoder_matmul_flops(b, n, dmodel, dqk, dv, h, blocks):
+    """uvqk + o projections, fwd; bwd = 2x (dgrad + wgrad)."""
+    per_block = 2 * b * n * dmodel * (2 * h * dqk + 2 * h * dv) + 2 * b * n * (
+        h * dv
+    ) * dmodel
+    return blocks * per_block
+
+
+def bench_steps(rows, iters):
+    """Full train-step MFU for the three presets."""
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+    from mygenerativerecommenders_tpu.train.task_retrieval import make_train_step
+    from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+    from bench import make_batch
+
+    cases = [
+        ("ml-1m-hstu", "uniform"),
+        ("ml-20m-hstu", "uniform"),
+        ("ml-20m-hstu-long", "full"),
+        ("ml-20m-hstu-long", "lognormal"),
+    ]
+    for preset, mode in cases:
+        cfg = get_preset(preset)
+        resolve(cfg, cfg.data.expected_max_item_id)
+        b, l = cfg.data.batch_size, cfg.data.max_sequence_length
+        x_id = cfg.data.expected_max_item_id
+        batch = make_batch(b, l, x_id)
+        rng_np = np.random.default_rng(0)
+        if mode == "lognormal":
+            lengths = np.clip(
+                rng_np.lognormal(4.6, 0.9, size=b).astype(np.int32), 20, l
+            )
+        elif mode == "full":
+            lengths = np.full(b, l, np.int32)
+        else:
+            lengths = batch["lengths"]
+        ids = np.zeros((b, l), np.int32)
+        ts = np.zeros((b, l), np.int32)
+        for i, nl in enumerate(lengths):
+            ids[i, :nl] = rng_np.integers(1, x_id, size=nl)
+            ts[i, :nl] = np.sort(
+                978_000_000 + rng_np.integers(0, 10**8, size=nl)
+            )
+        batch.update(lengths=lengths, ids=ids, timestamps=ts)
+
+        model = build_model(cfg)
+        key = jax.random.PRNGKey(0)
+        seq, _, _ = seq_features_from_batch(batch, cfg.model.gr_output_length + 1)
+        params = jax.jit(model.init)({"params": key, "dropout": key}, seq)
+        uniq = cfg.data.expected_num_unique_items
+        all_item_ids = np.sort(
+            np.random.default_rng(0).choice(
+                np.arange(1, x_id + 1), size=uniq, replace=False
+            )
+        ).astype(np.int32)
+        tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
+        opt_state = jax.jit(tx.init)(params)
+        k = 8
+        train_step = make_train_step(model, cfg, all_item_ids, steps=k)
+        stacked = {key2: np.stack([v] * k) for key2, v in batch.items()}
+        dev_batch = jax.device_put(stacked)
+        lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+
+        # k optimizer steps per dispatch already (steps_per_call); time
+        # whole calls, min over trials, sync via the loss scalar
+        loss = train_step(params, opt_state, dev_batch, key, lr1, lr2)[2]
+        _sync(loss)  # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loss = train_step(params, opt_state, dev_batch, key, lr1, lr2)[2]
+            _sync(loss)
+            best = min(best, time.perf_counter() - t0)
+        t_step = best / k
+
+        e = cfg.model.encoder
+        n = l + cfg.model.gr_output_length + 1
+        dmodel = cfg.model.item_embedding_dim
+        h = e.num_heads
+        dqk_h, dv_h = e.attention_dim // h, e.linear_dim // h
+        seq_lens = np.minimum(lengths + cfg.model.gr_output_length + 1, n)
+        f_attn = attn_flops(seq_lens, n, h, dqk_h, dv_h) + attn_flops(
+            seq_lens, n, h, dqk_h, dv_h, bwd=True
+        )
+        f_attn *= e.num_blocks
+        f_mm = 3 * encoder_matmul_flops(b, n, dmodel, dqk_h, dv_h, h, e.num_blocks)
+        bt = b * (n - 1)
+        xpad = int(np.ceil(uniq / 128) * 128)
+        f_loss = 5 * 2 * bt * uniq * dmodel + 2 * 2 * bt * 128 * xpad
+        f_total = f_attn + f_mm + f_loss
+        mfu = f_total / t_step / PEAK_MXU
+        mfu_f32 = f_total / t_step / PEAK_MXU_F32_MEASURED
+        rows.append(
+            (
+                f"STEP {preset} ({mode}) [B={b}]",
+                t_step,
+                f_total,
+                None,
+                f"MFU {100*mfu:.1f}% bf16-peak / {100*mfu_f32:.1f}% f32-ceiling",
+            )
+        )
+        _log(
+            f"step {preset}/{mode}: {t_step*1e3:.2f} ms, "
+            f"{f_total/1e9:.1f} GFLOP, MFU {100*mfu:.1f}%"
+        )
+
+
+def main():
+    quick = "--quick" in sys.argv
+    iters = 8 if quick else 24
+    from mygenerativerecommenders_tpu.train.driver import enable_compilation_cache
+
+    enable_compilation_cache("~/.cache/mygenerativerecommenders_tpu/xla")
+    _log(f"devices: {jax.devices()}")
+    rows = []
+    bench_attention(rows, iters)
+    bench_lse(rows, iters)
+    bench_adamw_table(rows, iters)
+    bench_steps(rows, iters)
+
+    print("\n| op | time | useful FLOPs | TF/s | % bf16 peak | min HBM | GB/s | % HBM peak | bound |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    for name, t, flops, nbytes, bound in rows:
+        tf = flops / t / 1e12
+        pct = 100 * flops / t / PEAK_MXU
+        if nbytes is not None:
+            gbs = nbytes / t / 1e9
+            hbm_pct = 100 * nbytes / t / PEAK_HBM
+            bcol = f"{nbytes/1e6:.1f} MB | {gbs:.0f} | {hbm_pct:.0f}%"
+        else:
+            bcol = "— | — | —"
+        print(
+            f"| {name} | {t*1e3:.2f} ms | {flops/1e9:.1f} G | {tf:.1f} | "
+            f"{pct:.1f}% | {bcol} | {bound} |"
+        )
 
 
 if __name__ == "__main__":

@@ -226,6 +226,9 @@ class DataConfig:
     expected_max_item_id: int = 3952
     # synthetic fallback (no-egress environments)
     synthetic_num_users: int = 2048
+    # longest generated synthetic history (uniform [5, this]); raise to
+    # max_sequence_length for long-N (N=1024) recipe studies
+    synthetic_max_seq_len: int = 200
     # item-quality-correlated synthetic ratings (learnable ranking task)
     synthetic_rating_quality: bool = False
     item_year_feature: bool = False
@@ -279,6 +282,11 @@ class TrainerConfig:
     # call, then per step), so runs are reproducible only at a fixed
     # steps_per_call.
     steps_per_call: int = 1
+    # async checkpointing: orbax writes the checkpoint to disk in a
+    # background thread while the next epoch trains (the device->host
+    # copy stays synchronous); the meta.json sidecar is written at the
+    # next save / restore / teardown flush
+    async_checkpoint: bool = False
     # persistent XLA compilation cache directory ("" = off): first-compile
     # of the train step costs 20-90s on TPU; cached executables load in
     # ~100ms on later runs (keyed by HLO + backend, safe across edits)

@@ -345,6 +345,7 @@ class RecoData:
             kwargs["num_items"] = cfg.expected_num_unique_items
             kwargs["max_item_id"] = cfg.expected_max_item_id
             kwargs["rating_by_item_quality"] = cfg.synthetic_rating_quality
+            kwargs["max_seq_len"] = cfg.synthetic_max_seq_len
         self.processor: DataProcessor = build_processor(
             cfg.dataset_name, cfg.data_dir, **kwargs
         )

@@ -20,7 +20,13 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str, monitor: str = "val/ndcg@100", mode: str = "max"):
+    def __init__(
+        self,
+        ckpt_dir: str,
+        monitor: str = "val/ndcg@100",
+        mode: str = "max",
+        async_save: bool = False,
+    ):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self.monitor = monitor
@@ -28,19 +34,41 @@ class CheckpointManager:
         self.best_value: Optional[float] = None
         self.best_path: Optional[str] = None
         self._ckptr = ocp.StandardCheckpointer()
+        # async: orbax's device->host copy is synchronous, the disk write
+        # happens in its background thread; meta.json must land AFTER
+        # orbax's atomic finalize-rename, so it is deferred to flush()
+        self.async_save = async_save
+        self._pending: Optional[tuple] = None
 
     def _is_better(self, value: float) -> bool:
         if self.best_value is None:
             return True
         return value > self.best_value if self.mode == "max" else value < self.best_value
 
+    def _write_meta(self, path: str, meta: Dict[str, Any]) -> None:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def flush(self) -> None:
+        """Finish any in-flight async save and write its meta sidecar.
+        Training overlaps the disk write; the next save (or fit teardown /
+        restore) synchronizes here."""
+        self._ckptr.wait_until_finished()
+        if self._pending is not None:
+            path, meta = self._pending
+            self._pending = None
+            self._write_meta(path, meta)
+
     def _save(self, path: str, state: Dict[str, Any], meta: Dict[str, Any]) -> None:
+        self.flush()
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        if self.async_save:
+            self._pending = (path, meta)
+        else:
+            self._ckptr.wait_until_finished()
+            self._write_meta(path, meta)
 
     def save(
         self,
@@ -68,11 +96,13 @@ class CheckpointManager:
 
     def restore(self, path: str, target: Dict[str, Any]) -> Dict[str, Any]:
         """Restore a full state pytree shaped like `target`."""
+        self.flush()
         restored = self._ckptr.restore(os.path.abspath(path), target)
         return restored
 
     def restore_params(self, path: str, params_target: Any) -> Any:
         """Weights-only restore (the reference's strict=False load)."""
+        self.flush()
         restored = self._ckptr.restore(
             os.path.abspath(path), {"params": params_target, "opt_state": None}
         )

@@ -239,7 +239,10 @@ class Trainer:
             _flatten("", to_dict(cfg))
             self.writer.mlflow.log_params(flat)
         self.ckpt = CheckpointManager(
-            os.path.join(self.out_dir, "checkpoints"), monitor=t.monitor, mode=t.mode
+            os.path.join(self.out_dir, "checkpoints"),
+            monitor=t.monitor,
+            mode=t.mode,
+            async_save=t.async_checkpoint,
         )
         self.global_step = 0
         self.epoch = 0
@@ -582,6 +585,7 @@ class Trainer:
                 ):
                     log.info(f"early stopping at epoch {self.epoch}")
                     break
+        self.ckpt.flush()  # finish any in-flight async save
         return last_results
 
     def test(self, ckpt_path: Optional[str] = None) -> Dict[str, float]:

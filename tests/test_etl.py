@@ -57,6 +57,27 @@ def test_synthetic_split_threshold(tmp_path):
     assert len(train) == 18  # 90%
 
 
+def test_synthetic_max_seq_len_wiring(tmp_path):
+    """data.synthetic_max_seq_len reaches the generator (long-N studies)."""
+    from mygenerativerecommenders_tpu.configs import DataConfig
+    from mygenerativerecommenders_tpu.data.dataset import RecoData
+
+    cfg = DataConfig(
+        dataset_name="synthetic-longtest",
+        data_dir=str(tmp_path),
+        synthetic_num_users=16,
+        expected_num_unique_items=50,
+        expected_max_item_id=60,
+        synthetic_max_seq_len=500,
+        max_sequence_length=512,
+    )
+    data = RecoData(cfg, seed=0)
+    seqs = pd.read_csv(data.processor.output_format_csv())
+    lens = seqs["sequence_item_ids"].map(lambda s: len(eval(s)))
+    assert lens.max() > 200  # beyond the old fixed cap
+    assert lens.max() <= 500
+
+
 def test_ml20mx16x32_npz_etl(tmp_path):
     """npz-shard ETL (reference preprocessor.py:164-184): placeholder
     rating/timestamp columns, sequence CSV consumable by SequenceDataset."""

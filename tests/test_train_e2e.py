@@ -109,6 +109,30 @@ def test_sasrec_fast_dev_run(smoke_cfg, tmp_path):
     assert "ndcg@10" in results
 
 
+def test_async_checkpoint_resume(smoke_cfg):
+    """trainer.async_checkpoint: saves overlap training; meta.json and a
+    bit-identical restore must still be there after fit's flush."""
+    import copy
+
+    cfg = copy.deepcopy(smoke_cfg)
+    cfg.trainer.max_epochs = 2
+    cfg.trainer.min_epochs = 1
+    cfg.trainer.async_checkpoint = True
+    trainer = Trainer(cfg)
+    trainer.fit()
+    ckpt = str(trainer.ckpt.ckpt_dir) + "/last"
+    meta = trainer.ckpt.load_meta(ckpt)
+    assert meta["epoch"] == trainer.epoch
+
+    cfg2 = copy.deepcopy(cfg)
+    trainer2 = Trainer(cfg2)
+    trainer2.restore(ckpt)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(trainer.params), jax.tree.leaves(trainer2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_resume(smoke_cfg):
     import copy
 
