@@ -298,6 +298,28 @@ def bench_steps(rows, iters):
         ("ml-20m-hstu-long", "lognormal"),
     ]
     for preset, mode in cases:
+        try:
+            _bench_one_step(rows, preset, mode)
+        except Exception as e:
+            import traceback
+
+            _log(f"step {preset}/{mode} FAILED: {e}")
+            traceback.print_exc(file=sys.stderr)
+
+
+def _bench_one_step(rows, preset, mode):
+    import jax
+
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+    from mygenerativerecommenders_tpu.train.task_retrieval import make_train_step
+    from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+    from bench import make_batch
+
+    if True:
         cfg = get_preset(preset)
         resolve(cfg, cfg.data.expected_max_item_id)
         b, l = cfg.data.batch_size, cfg.data.max_sequence_length
@@ -340,13 +362,18 @@ def bench_steps(rows, iters):
         lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
 
         # k optimizer steps per dispatch already (steps_per_call); time
-        # whole calls, min over trials, sync via the loss scalar
-        loss = train_step(params, opt_state, dev_batch, key, lr1, lr2)[2]
+        # whole calls, min over trials, sync via the loss scalar.
+        # params/opt_state are DONATED by the step — must rebind each call
+        params, opt_state, loss = train_step(
+            params, opt_state, dev_batch, key, lr1, lr2
+        )
         _sync(loss)  # compile + warmup
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            loss = train_step(params, opt_state, dev_batch, key, lr1, lr2)[2]
+            params, opt_state, loss = train_step(
+                params, opt_state, dev_batch, key, lr1, lr2
+            )
             _sync(loss)
             best = min(best, time.perf_counter() - t0)
         t_step = best / k
@@ -364,7 +391,9 @@ def bench_steps(rows, iters):
         f_mm = 3 * encoder_matmul_flops(b, n, dmodel, dqk_h, dv_h, h, e.num_blocks)
         bt = b * (n - 1)
         xpad = int(np.ceil(uniq / 128) * 128)
-        f_loss = 5 * 2 * bt * uniq * dmodel + 2 * 2 * bt * 128 * xpad
+        # 5 logits-sized dots (fwd + dq recompute+dot + dcat recompute+dot)
+        # + ONE count-build histogram einsum (stop_gradient, fwd only)
+        f_loss = 5 * 2 * bt * uniq * dmodel + 2 * bt * 128 * xpad
         f_total = f_attn + f_mm + f_loss
         mfu = f_total / t_step / PEAK_MXU
         mfu_f32 = f_total / t_step / PEAK_MXU_F32_MEASURED
@@ -391,10 +420,16 @@ def main():
     enable_compilation_cache("~/.cache/mygenerativerecommenders_tpu/xla")
     _log(f"devices: {jax.devices()}")
     rows = []
-    bench_attention(rows, iters)
-    bench_lse(rows, iters)
-    bench_adamw_table(rows, iters)
-    bench_steps(rows, iters)
+    only = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), "")
+    sections = {
+        "attn": bench_attention,
+        "lse": bench_lse,
+        "adamw": bench_adamw_table,
+        "steps": bench_steps,
+    }
+    for name, fn in sections.items():
+        if not only or name in only.split(","):
+            fn(rows, iters)
 
     print("\n| op | time | useful FLOPs | TF/s | % bf16 peak | min HBM | GB/s | % HBM peak | bound |")
     print("|---|---|---|---|---|---|---|---|---|")
