@@ -86,6 +86,10 @@ def main():
     opt_state = jax.jit(tx.init)(params)
     train_step = make_train_step(model, cfg, all_item_ids)
     lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+    # the step donates params/opt_state; keep host snapshots so each
+    # variant starts from fresh (undeleted) device arrays
+    params_h = jax.device_get(params)
+    opt_state_h = jax.device_get(opt_state)
 
     variants = [("padded", None), ("bucketed", [128, 256, 512, 1024])]
     pick = os.environ.get("VARIANT")
@@ -94,7 +98,7 @@ def main():
     results = {}
     for name, buckets in variants:
         loader = BatchLoader(ds, batch_size=b, shuffle=True, seed=1, buckets=buckets)
-        p, o = params, opt_state
+        p, o = jax.device_put(params_h), jax.device_put(opt_state_h)
         # epoch 0: compile all bucket shapes
         t0 = time.perf_counter()
         seen = set()

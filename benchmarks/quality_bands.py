@@ -44,10 +44,10 @@ def main():
     if study == "lazy":
         base = [
             "data.dataset_name=synthetic",
-            "loss.shared_negatives=true",
-            "loss.num_to_sample=1024",
+            "model.loss.shared_negatives=true",
+            "model.loss.num_to_sample=1024",
             f"trainer.max_epochs={epochs}",
-            "trainer.log_dir=tmp/quality_lazy",
+            "trainer.output_dir=tmp/quality_lazy",
         ]
         for mode in ("off", "on"):
             ov = base + [f"model.embedding.lazy_update={mode == 'on'}"]
@@ -60,7 +60,7 @@ def main():
             "data.synthetic_max_seq_len=1024",
             "data.synthetic_num_users=1024",
             f"trainer.max_epochs={epochs}",
-            "trainer.log_dir=tmp/quality_long",
+            "trainer.output_dir=tmp/quality_long",
         ]
         res = run("ml-20m-hstu-long", ov)
         out["long"] = res

@@ -340,83 +340,80 @@ def _bwd_fused_kernel(
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     d_dim, dv_dim = k_ref.shape[3], v_ref.shape[3]
 
+    # the accumulated out blocks (dk/dv resident per b across (qi, h);
+    # dzh resident per (b, qi) across h) are zeroed ONCE in VMEM, so the
+    # k-loop below can run over the LIVE tile range only — dead tiles
+    # (past the causal frontier or the sequence length) are never
+    # iterated, matching the forward's jagged skipping. Previously every
+    # (kj, qi, h) tile paid the accumulate-writes even when dead, which
+    # made the backward's cost independent of sequence length.
+    @pl.when(jnp.logical_and(qi == 0, h == 0))
+    def _init_kv():
+        dk_ref[0] = jnp.zeros(dk_ref.shape[1:], dk_ref.dtype)
+        dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
+
+    @pl.when(h == 0)
+    def _init_dzh():
+        dzh_ref[0] = jnp.zeros(dzh_ref.shape[1:], dzh_ref.dtype)
+
     def body(kj, dq_blk):
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        # tiles past the causal frontier OR past this sequence's length
-        # contribute zeros; lax.cond skips their five dots outright (the
-        # writes below still run so the accumulated dk/dv/dzh out blocks
-        # are initialized)
-        live = jnp.logical_and(kj <= qi, kj * bk < seq_len)
-        live = jnp.logical_and(live, qi * bq < seq_len)
+        k_tile = k_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
+        mask = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
+        mask = jnp.logical_and(mask, row_ids < seq_len)
 
-        def compute(_):
-            k_tile = k_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
-            v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
-            mask = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
-            mask = jnp.logical_and(mask, row_ids < seq_len)
+        # recompute z exactly as the forward kernel does
+        s = jax.lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(
+            jnp.float32
+        )
+        tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
+        delta = tsq[:, None] - tsk[None, :]
+        bucket = bucketize_timedelta(delta, num_buckets)
+        z = s + bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
+        sig = jax.nn.sigmoid(z)
+        p = jnp.where(mask, z * sig * inv_n, 0.0)
 
-            # recompute z exactly as the forward kernel does
-            s = jax.lax.dot_general(
-                q, k_tile, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(
-                jnp.float32
-            )
-            tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
-            delta = tsq[:, None] - tsk[None, :]
-            bucket = bucketize_timedelta(delta, num_buckets)
-            z = s + bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
-            sig = jax.nn.sigmoid(z)
-            p = jnp.where(mask, z * sig * inv_n, 0.0)
+        dp = jax.lax.dot_general(
+            g, v_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dsilu = sig + z * sig * (1.0 - sig)
+        dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
 
-            dp = jax.lax.dot_general(
-                g, v_tile, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dsilu = sig + z * sig * (1.0 - sig)
-            dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
+        dq_c = jax.lax.dot_general(
+            dz, k_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_c = jax.lax.dot_general(
+            dz, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_c = jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-            dq_c = jax.lax.dot_general(
-                dz, k_tile, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk_c = jax.lax.dot_general(
-                dz, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dv_c = jax.lax.dot_general(
-                p, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return dq_c, dk_c, dv_c, dz
-
-        def dead(_):
-            return (
-                jnp.zeros((bq, d_dim), dtype=jnp.float32),
-                jnp.zeros((bk, d_dim), dtype=jnp.float32),
-                jnp.zeros((bk, dv_dim), dtype=jnp.float32),
-                jnp.zeros((bq, bk), dtype=jnp.float32),
-            )
-
-        dq_c, dk_c, dv_c, dz = jax.lax.cond(live, compute, dead, None)
-
-        # dq accumulates across kj in registers; dk/dv accumulate across
-        # qi directly in the resident out block (index constant per b, so
-        # reads see the previous qi's values; qi == 0 initializes — the
-        # pre-read is discarded)
         dq_blk = dq_blk + dq_c
         sl = pl.ds(kj * bk, bk)
-        init = qi == 0
-        dk_ref[0, h, sl, :] = jnp.where(init, dk_c, dk_ref[0, h, sl, :] + dk_c)
-        dv_ref[0, h, sl, :] = jnp.where(init, dv_c, dv_ref[0, h, sl, :] + dv_c)
+        dk_ref[0, h, sl, :] = dk_ref[0, h, sl, :] + dk_c
+        dv_ref[0, h, sl, :] = dv_ref[0, h, sl, :] + dv_c
         # head-summed dz accumulates across h (innermost grid dim, so the
         # dzh block stays resident between h steps)
-        dzh_ref[0, :, sl] = jnp.where(h == 0, dz, dzh_ref[0, :, sl] + dz)
+        dzh_ref[0, :, sl] = dzh_ref[0, :, sl] + dz
         return dq_blk
 
+    # live tile range, exactly as the forward: key blocks <= the causal
+    # frontier AND within this sequence's length; dead query blocks run
+    # zero iterations (their dq is zero, dzh stays at the memset zeros)
+    n_kj = jnp.minimum(qi + 1, (seq_len + bk - 1) // bk)
+    n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
     dq = jax.lax.fori_loop(
-        0, n_k_blocks, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
+        0, n_kj, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
     )
     dq_ref[0] = dq
 
