@@ -48,6 +48,15 @@ from mygenerativerecommenders_tpu.ops.hstu_attention import (
 )
 
 
+# query-tile rows per grid step. 256 halves the number of grid steps vs
+# the MXU-native 128 — at HSTU's small head dims the kernels run at a
+# per-grid-step latency floor (~4 us: q/out DMA + bookkeeping dominate
+# the 2*BQ*BK*D dot), so fewer, fatter steps are faster. The key tile
+# stays 128 (lane-dim slices must be 128-aligned); all tile-offset math
+# below is written for bq = r * bk, r >= 1.
+_BQ_ROWS = 256
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -112,9 +121,12 @@ def _kernel(
         )  # [BQ, BK]
 
         # bias: block-Toeplitz positional stripe slice (tile content
-        # depends only on kj - qi) + in-kernel time-bucket lane gather
-        n_q = np_total // bk
-        bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(jnp.float32)
+        # depends only on kj*bk - qi*bq) + in-kernel time-bucket lane
+        # gather; K = (NP - bq)/bk shifts the most-negative offset to 0
+        k_off = (np_total - bq) // bk
+        bias = posb_ref[:, pl.ds((kj - qi * (bq // bk) + k_off) * bk, bk)].astype(
+            jnp.float32
+        )
         delta = tsq[:, None] - tsk[None, :]
         bucket = bucketize_timedelta(delta, num_buckets)  # [BQ, BK] int32
         bias = bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
@@ -134,7 +146,7 @@ def _kernel(
     # jagged + causal tile skipping: key blocks beyond the current query
     # block OR beyond this sequence's valid length contribute nothing;
     # query blocks fully past the length produce zero rows outright
-    n_kj = jnp.minimum(qi + 1, (seq_len + bk - 1) // bk)
+    n_kj = jnp.minimum((qi + 1) * (bq // bk), (seq_len + bk - 1) // bk)
     n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
     acc = jax.lax.fori_loop(0, n_kj, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
@@ -186,8 +198,8 @@ def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
     # reference normalizes by its constant mask buffer size, hstu.py:193)
     assert n <= max_len, f"sequence dim {n} > max_len {max_len}"
 
-    bq = bk = 128  # lane-dim slices must be 128-aligned on TPU
-    np_total = _round_up(n, bq)
+    bq, bk = _BQ_ROWS, 128  # lane-dim slices must be 128-aligned on TPU
+    np_total = _round_up(n, max(bq, bk))
     d_pad = _round_up(dqk, 128)
     dv_pad = _round_up(dv, 128)
 
@@ -330,8 +342,7 @@ def _bwd_fused_kernel(
     qi = pl.program_id(1)
     h = pl.program_id(2)
     np_total = k_ref.shape[2]
-    n_k_blocks = np_total // bk
-    n_q = np_total // bk
+    k_off = (np_total - bq) // bk
     seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
     q = q_ref[0].astype(jnp.float32)
@@ -368,7 +379,7 @@ def _bwd_fused_kernel(
             q, k_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        bias = posb_ref[:, pl.ds((kj - qi + n_q - 1) * bk, bk)].astype(
+        bias = posb_ref[:, pl.ds((kj - qi * (bq // bk) + k_off) * bk, bk)].astype(
             jnp.float32
         )
         tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
@@ -410,7 +421,7 @@ def _bwd_fused_kernel(
     # live tile range, exactly as the forward: key blocks <= the causal
     # frontier AND within this sequence's length; dead query blocks run
     # zero iterations (their dq is zero, dzh stays at the memset zeros)
-    n_kj = jnp.minimum(qi + 1, (seq_len + bk - 1) // bk)
+    n_kj = jnp.minimum((qi + 1) * (bq // bk), (seq_len + bk - 1) // bk)
     n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
     dq = jax.lax.fori_loop(
         0, n_kj, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
@@ -461,8 +472,8 @@ def _prepare(q, k, v, timestamps, max_len):
     """Shared padding/layout prep for the fused kernels."""
     b, n, h, dqk = q.shape
     dv_dim = v.shape[-1]
-    bq = bk = 128  # lane-dim slices must be 128-aligned on TPU
-    np_total = _round_up(n, bq)
+    bq, bk = _BQ_ROWS, 128  # lane-dim slices must be 128-aligned on TPU
+    np_total = _round_up(n, max(bq, bk))
     d_pad = _round_up(dqk, 128)
     dv_pad = _round_up(dv_dim, 128)
 
@@ -507,8 +518,9 @@ def _pos_toeplitz(pos_w, np_total, max_len, bq, bk):
     fresh [BQ, NP] stripe per q-block grid step (measured 1.4 GB/step of
     posb DMA at ml-20m-long shapes). Clipped indices only land on
     causally-masked positions, matching the old per-tile clip."""
-    nq = np_total // bq
-    b0 = (max_len - 1) - (nq - 1) * bk
+    # most-negative tile offset is kj*bk - qi*bq = -(NP - bq); the
+    # kernels' slice base (kj - qi*(bq/bk) + (NP-bq)/bk)*bk maps it to 0
+    b0 = (max_len - 1) - (np_total - bq)
     # gather-free construction (a [BQ, NP] 2-D gather measured ~1 ms/step
     # on TPU): sample the table over one contiguous wrapped index range
     # (a [NP+BQ]-element 1-D gather, trivial), then the tile-and-reshape
