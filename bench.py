@@ -247,6 +247,66 @@ def bench_long_n(calls=4, steps_per_call=4, warmup=2):
     return b * steps / dt
 
 
+def bench_long_n_bucketed(users=2048):
+    """Same ml-20m-hstu-long config and realistic length mix, fed by the
+    real BatchLoader with data.length_buckets — the no-padding-waste
+    path (one compiled program per bucket capacity). Returns ex/s over
+    one timed epoch (see benchmarks/bucket_bench.py for the full study).
+    """
+    import jax
+
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.data.dataset import BatchLoader
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+    from mygenerativerecommenders_tpu.train.task_retrieval import make_train_step
+    from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+    sys.path.insert(0, "benchmarks")
+    from bucket_bench import make_dataset
+
+    cfg = get_preset("ml-20m-hstu-long")
+    resolve(cfg, cfg.data.expected_max_item_id)
+    b, l = cfg.data.batch_size, cfg.data.max_sequence_length
+    ds = make_dataset(users, l, cfg.data.expected_max_item_id)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    probe = next(iter(BatchLoader(ds, batch_size=b)))
+    seq, _, _ = seq_features_from_batch(probe, cfg.model.gr_output_length + 1)
+    params = jax.jit(model.init)({"params": rng, "dropout": rng}, seq)
+    all_item_ids = np.sort(
+        np.random.default_rng(0).choice(
+            np.arange(1, cfg.data.expected_max_item_id + 1),
+            size=cfg.data.expected_num_unique_items,
+            replace=False,
+        )
+    ).astype(np.int32)
+    tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
+    opt_state = jax.jit(tx.init)(params)
+    train_step = make_train_step(model, cfg, all_item_ids)
+    lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+    loader = BatchLoader(
+        ds, batch_size=b, shuffle=True, seed=1, buckets=[128, 256, 512, 1024]
+    )
+    p, o = params, opt_state
+    for i, batch in enumerate(loader):  # warm epoch: compile bucket shapes
+        p, o, loss = train_step(p, o, jax.device_put(batch), rng, lr1, lr2)
+        if i % 8 == 7:
+            float(loss)
+    float(loss)
+    batches = [jax.device_put(x) for x in loader]
+    t0 = time.perf_counter()
+    for i, db in enumerate(batches):
+        p, o, loss = train_step(p, o, db, rng, lr1, lr2)
+        if i % 8 == 7:
+            float(loss)  # bound the dispatch queue (tunnel quirk)
+    float(loss)
+    dt = time.perf_counter() - t0
+    _log(f"long-N bucketed epoch {dt * 1e3:.0f} ms ({users} ex)")
+    return users / dt
+
+
 def main():
     b, l = 128, 200
     batch = make_batch(b, l, 3952)
@@ -256,6 +316,11 @@ def main():
     except Exception as e:  # the headline metric must still print
         _log(f"long-N bench failed: {e}")
         long_n = None
+    try:
+        long_n_bucketed = bench_long_n_bucketed()
+    except Exception as e:
+        _log(f"long-N bucketed bench failed: {e}")
+        long_n_bucketed = None
     baseline = None
     if "--skip-baseline" not in sys.argv:
         try:
@@ -283,6 +348,8 @@ def main():
     }
     if long_n is not None:
         out["long_n_ml20m_examples_per_sec"] = round(long_n, 2)
+    if long_n_bucketed is not None:
+        out["long_n_bucketed_examples_per_sec"] = round(long_n_bucketed, 2)
     print(json.dumps(out))
 
 

@@ -48,13 +48,20 @@ from mygenerativerecommenders_tpu.ops.hstu_attention import (
 )
 
 
-# query-tile rows per grid step. 256 halves the number of grid steps vs
-# the MXU-native 128 — at HSTU's small head dims the kernels run at a
-# per-grid-step latency floor (~4 us: q/out DMA + bookkeeping dominate
-# the 2*BQ*BK*D dot), so fewer, fatter steps are faster. The key tile
-# stays 128 (lane-dim slices must be 128-aligned); all tile-offset math
-# below is written for bq = r * bk, r >= 1.
-_BQ_ROWS = 256
+# query-tile rows per grid step. All tile-offset math below is written
+# for bq = r * bk (r >= 1), but 128 is the measured optimum: bq=256 at
+# NP=256 (ml-1m shapes) was neutral-to-worse on v5e (fwd 1.16 -> 1.18,
+# fwd+bwd 1.72 -> 1.88 ms — the per-grid-step floor is DMA/bookkeeping
+# latency that pipelines across steps, not per-step count), and padding
+# NP to a 256 multiple grows the NP²-shaped bias-grad work (1035 -> 1280
+# vs 1152; that program also hung the Mosaic compile >40 min at bq=256).
+_BQ_ROWS = 128
+
+
+def _pick_bq(np_total: int) -> int:
+    """Widest configured query tile that divides the 128-rounded padded
+    length — never grow NP beyond round_up(n, 128)."""
+    return _BQ_ROWS if np_total % _BQ_ROWS == 0 else 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -198,8 +205,9 @@ def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
     # reference normalizes by its constant mask buffer size, hstu.py:193)
     assert n <= max_len, f"sequence dim {n} > max_len {max_len}"
 
-    bq, bk = _BQ_ROWS, 128  # lane-dim slices must be 128-aligned on TPU
-    np_total = _round_up(n, max(bq, bk))
+    bk = 128  # lane-dim slices must be 128-aligned on TPU
+    np_total = _round_up(n, bk)
+    bq = _pick_bq(np_total)
     d_pad = _round_up(dqk, 128)
     dv_pad = _round_up(dv, 128)
 
@@ -472,8 +480,9 @@ def _prepare(q, k, v, timestamps, max_len):
     """Shared padding/layout prep for the fused kernels."""
     b, n, h, dqk = q.shape
     dv_dim = v.shape[-1]
-    bq, bk = _BQ_ROWS, 128  # lane-dim slices must be 128-aligned on TPU
-    np_total = _round_up(n, max(bq, bk))
+    bk = 128  # lane-dim slices must be 128-aligned on TPU
+    np_total = _round_up(n, bk)
+    bq = _pick_bq(np_total)
     d_pad = _round_up(dqk, 128)
     dv_pad = _round_up(dv_dim, 128)
 
