@@ -129,6 +129,11 @@ def test_fused_jagged_matches_masked_reference(rng, b, n, h, lengths):
     [
         (3, 150, 2, [150, 40, 0]),
         (2, 300, 1, [144, 299]),
+        # exact tile boundaries: the live-range bwd loop bound
+        # ceil(len/128) and the memset-only (never-iterated) trailing
+        # q/k blocks must still produce exact-zero accumulator grads
+        (2, 300, 2, [128, 256]),
+        (3, 384, 1, [128, 129, 383]),
     ],
 )
 def test_fused_jagged_grads_match_masked_reference(rng, b, n, h, lengths):
