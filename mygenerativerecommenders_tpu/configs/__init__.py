@@ -23,11 +23,27 @@ from typing import Any, Optional, Tuple
 
 @dataclass
 class EmbeddingConfig:
-    kind: str = "local"  # local | item_year | categorical | sharded_local
+    # local | item_year | categorical
+    # | sharded_local  (rows over "model", psum-broadcast lookup)
+    # | sharded_a2a    (rows over "model", owner-routed all-to-all lookup —
+    #                   O(n*D/num_shards) per-device traffic; the production
+    #                   mechanism at large vocab / batch)
+    # | sharded_column (columns over "model": local gathers + one all_gather)
+    # | sharded_2d     (rows over "model" x columns over "col": a2a exchange
+    #                   of D/col_shards slices + col all_gather; pod-scale)
+    kind: str = "local"
     item_embedding_dim: int = 50
     num_items: int = 0  # 0 -> filled from data (max item id)
     init_std: float = 0.02
-    num_shards: int = 1  # sharded_local: rows split over the "model" axis
+    # sharded_*: row shards over the "model" axis (column shards for
+    # sharded_column, which also rides "model")
+    num_shards: int = 1
+    # sharded_2d only: column shards over the "col" mesh axis
+    col_shards: int = 1
+    # sharded_a2a / sharded_2d: per-owner bucket capacity as a multiple of
+    # the balanced share n/num_shards; overflow stays exact via a psum
+    # residual, so this trades skew headroom against exchange buffer size
+    a2a_capacity_factor: float = 2.0
     # Opt-in ALGORITHM CHANGE (torch SparseAdam analog): update only the
     # table rows a step touches (B*T positives + R shared negatives) —
     # untouched rows get no momentum motion and no weight decay. Kills

@@ -228,10 +228,12 @@ def amzn_books() -> Config:
 @register("amzn-books-sharded")
 def amzn_books_sharded() -> Config:
     """amzn-books with the item table row-sharded over an 8-way model
-    mesh axis (all-to-all owner-routed lookups) and the sharded top-k
-    merge — the multi-host large-vocab recipe."""
+    mesh axis using OWNER-ROUTED all-to-all lookups
+    (embedding.kind=sharded_a2a: ids ship to their owning shard, rows
+    ship back — O(n*D/8) per-device traffic vs the psum-broadcast form's
+    full [B*N, D] reduce) — the multi-host large-vocab recipe."""
     cfg = amzn_books()
-    cfg.model.embedding.kind = "sharded_local"
+    cfg.model.embedding.kind = "sharded_a2a"
     cfg.model.embedding.num_shards = 8
     cfg.model.embedding.lazy_update = False  # dense update is sharded too
     return cfg
@@ -240,9 +242,11 @@ def amzn_books_sharded() -> Config:
 @register("synthetic-large-vocab")
 def synthetic_large_vocab() -> Config:
     """10M-item synthetic retrieval (BASELINE config #5): row-sharded
-    embedding table (8 shards; 10M x 64 f32 = 2.6 GB split 320 MB/shard),
-    sharded top-k, int8 pre-ranked eval scan. Scale knobs:
-    data.expected_max_item_id / embedding.num_shards."""
+    embedding table with owner-routed all-to-all lookups (8 shards;
+    10M x 64 f32 = 2.6 GB split 320 MB/shard), sharded top-k, int8
+    pre-ranked eval scan. Scale knobs: data.expected_max_item_id /
+    embedding.num_shards. See synthetic-large-vocab-100m for the full
+    BASELINE scale with 2-D (row x column) sharding."""
     cfg = Config()
     cfg.data.dataset_name = "synthetic-large"
     cfg.data.batch_size = 64
@@ -251,7 +255,7 @@ def synthetic_large_vocab() -> Config:
     cfg.data.expected_num_unique_items = 10_000_000
     cfg.data.expected_max_item_id = 10_000_000
     cfg.model.item_embedding_dim = 64
-    cfg.model.embedding.kind = "sharded_local"
+    cfg.model.embedding.kind = "sharded_a2a"
     cfg.model.embedding.num_shards = 8
     cfg.model.encoder.num_blocks = 4
     cfg.model.encoder.num_heads = 2
@@ -260,6 +264,37 @@ def synthetic_large_vocab() -> Config:
     cfg.model.index.quantize = "int8"
     cfg.model.metrics.at_k_list = (10, 50, 100, 200)
     cfg.trainer.monitor = "val/ndcg@100"
+    return cfg
+
+
+@register("synthetic-large-vocab-100m")
+def synthetic_large_vocab_100m() -> Config:
+    """BASELINE config #5 at its stated scale: 100M-item synthetic
+    retrieval with the item table 2-D sharded — 8 row shards ("model",
+    owner-routed all-to-all id exchange) x 2 column shards ("col", tiled
+    all_gather), 16 table devices.
+
+    Memory plan per table device at 100M x 64 f32 (table rows padded to
+    the row-shard multiple):
+      table slice        100e6*64*4 / 16 = 1.6 GB
+      AdamW m+v          2x table slice  = 3.2 GB
+      int8 index slice   100e6*64*1 / 16 = 0.4 GB (+ f32 scales 0.025 GB)
+      total              ~5.2 GB of a v5e's 16 GB HBM, leaving ~10 GB for
+                         activations + the dense model.
+    Scale knobs: embedding.num_shards x embedding.col_shards must divide
+    the mesh (model x col axes); halve the per-device slice by doubling
+    either. Lookup traffic per device per step is
+    B*N*D*4/num_shards bytes each way (a2a) — independent of vocab.
+    Tested at reduced vocab on the 8-device CPU mesh
+    (tests/test_sharded_a2a_model.py); single-chip v5e runs the 10M
+    variant (synthetic-large-vocab, PERFORMANCE.md lazy_update row).
+    """
+    cfg = synthetic_large_vocab()
+    cfg.data.expected_num_unique_items = 100_000_000
+    cfg.data.expected_max_item_id = 100_000_000
+    cfg.model.embedding.kind = "sharded_2d"
+    cfg.model.embedding.num_shards = 8
+    cfg.model.embedding.col_shards = 2
     return cfg
 
 

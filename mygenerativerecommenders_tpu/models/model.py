@@ -71,6 +71,30 @@ class GenerativeRecommender(nn.Module):
                 num_shards=m.embedding.num_shards,
                 init_std=m.embedding.init_std,
             )
+        elif m.embedding.kind == "sharded_a2a":
+            self.embeddings = emb_lib.ShardedA2AEmbedding(
+                num_items=m.embedding.num_items,
+                item_embedding_dim=m.item_embedding_dim,
+                num_shards=m.embedding.num_shards,
+                capacity_factor=m.embedding.a2a_capacity_factor,
+                init_std=m.embedding.init_std,
+            )
+        elif m.embedding.kind == "sharded_column":
+            self.embeddings = emb_lib.ColumnShardedLocalEmbedding(
+                num_items=m.embedding.num_items,
+                item_embedding_dim=m.item_embedding_dim,
+                num_shards=m.embedding.num_shards,
+                init_std=m.embedding.init_std,
+            )
+        elif m.embedding.kind == "sharded_2d":
+            self.embeddings = emb_lib.Sharded2DEmbedding(
+                num_items=m.embedding.num_items,
+                item_embedding_dim=m.item_embedding_dim,
+                num_shards=m.embedding.num_shards,
+                col_shards=m.embedding.col_shards,
+                capacity_factor=m.embedding.a2a_capacity_factor,
+                init_std=m.embedding.init_std,
+            )
         elif m.embedding.kind == "item_year":
             if not self.year_of_item:
                 raise ValueError(

@@ -14,10 +14,15 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(data: int = 0, model: int = 1) -> Mesh:
-    """Mesh over the first data*model visible devices, axes (data, model)."""
+def make_mesh(data: int = 0, model: int = 1, col: int = 1) -> Mesh:
+    """Mesh over the first data*model*col visible devices, axes
+    (data, model[, col]) — "col" shards embedding-table columns
+    (sharded_2d)."""
     devices = jax.devices()
     if data == 0:
-        data = len(devices) // model
+        data = len(devices) // (model * col)
+    if col > 1:
+        sel = np.array(devices[: data * model * col]).reshape(data, model, col)
+        return Mesh(sel, axis_names=("data", "model", "col"))
     sel = np.array(devices[: data * model]).reshape(data, model)
     return Mesh(sel, axis_names=("data", "model"))

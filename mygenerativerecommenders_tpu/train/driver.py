@@ -41,15 +41,25 @@ from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
 log = RankedLogger(__name__)
 
 
-def make_mesh(num_devices: int = 0, model_axis: int = 1, sp_axis: int = 1) -> Mesh:
-    """(data[, model][, sp]) mesh: "model" shards embedding-table rows,
-    "sp" shards the sequence axis (ring attention); "data" gets the rest."""
+def make_mesh(
+    num_devices: int = 0,
+    model_axis: int = 1,
+    sp_axis: int = 1,
+    col_axis: int = 1,
+) -> Mesh:
+    """(data[, model][, col][, sp]) mesh: "model" shards embedding-table
+    rows (and TP matrices), "col" shards embedding-table columns
+    (sharded_2d), "sp" shards the sequence axis (ring attention); "data"
+    gets the rest."""
     devices = jax.devices()
     n = num_devices or len(devices)
     shape, names = [], []
     if model_axis > 1:
         shape.append(model_axis)
         names.append("model")
+    if col_axis > 1:
+        shape.append(col_axis)
+        names.append("col")
     if sp_axis > 1:
         shape.append(sp_axis)
         names.append("sp")
@@ -58,7 +68,7 @@ def make_mesh(num_devices: int = 0, model_axis: int = 1, sp_axis: int = 1) -> Me
     if data < 1:
         raise ValueError(
             f"mesh needs {denom} devices for model_axis={model_axis} x "
-            f"sp_axis={sp_axis}, have {n}"
+            f"col_axis={col_axis} x sp_axis={sp_axis}, have {n}"
         )
     arr = np.array(devices[: data * denom]).reshape([data] + shape)
     return Mesh(arr, axis_names=tuple(["data"] + names))
@@ -87,10 +97,17 @@ class Trainer:
         self.model: GenerativeRecommender = build_model(
             cfg, year_of_item=getattr(self.data, "year_of_item", None)
         )
+        emb_kind = cfg.model.embedding.kind
+        # "model"-axis sharded-table kinds (rows, or columns for
+        # sharded_column; sharded_2d additionally uses the "col" axis)
         emb_shards = (
             cfg.model.embedding.num_shards
-            if cfg.model.embedding.kind == "sharded_local"
+            if emb_kind in ("sharded_local", "sharded_a2a", "sharded_column",
+                            "sharded_2d")
             else 1
+        )
+        col_axis = (
+            cfg.model.embedding.col_shards if emb_kind == "sharded_2d" else 1
         )
         tp_shards = (
             cfg.model.encoder.tp_shards if cfg.model.encoder.kind == "hstu" else 1
@@ -105,10 +122,11 @@ class Trainer:
         # tp_shards x sp_shards compose: the ring shard_map shards heads
         # over "model" (models/hstu.py _ring_attention head_axis)
         self.mesh = make_mesh(
-            cfg.trainer.num_devices, model_axis=model_axis, sp_axis=sp_axis
+            cfg.trainer.num_devices, model_axis=model_axis, sp_axis=sp_axis,
+            col_axis=col_axis,
         )
         self._mesh_ctx = None
-        if model_axis > 1 or sp_axis > 1:
+        if model_axis > 1 or sp_axis > 1 or col_axis > 1:
             # row-sharded embedding / ring attention: shard_map needs the
             # ambient mesh. Global setter; close() restores (tests rely on it).
             self._mesh_ctx = jax.sharding.set_mesh(self.mesh)
@@ -116,7 +134,13 @@ class Trainer:
         # [steps, batch, ...] stacks for the fused multi-step train call
         self.stacked_sharding = NamedSharding(self.mesh, P(None, "data"))
         self.replicated = NamedSharding(self.mesh, P())
-        self._table_sharded = emb_shards > 1
+        # PartitionSpec of the item table for sharded kinds (None = replicated)
+        self._table_spec = {
+            "sharded_local": P("model", None),
+            "sharded_a2a": P("model", None),
+            "sharded_column": P(None, "model"),
+            "sharded_2d": P("model", "col"),
+        }.get(emb_kind) if emb_shards > 1 else None
 
         self.all_item_ids = np.asarray(self.data.all_item_ids, dtype=np.int32)
         self.rng = jax.random.PRNGKey(cfg.trainer.seed)
@@ -129,8 +153,8 @@ class Trainer:
             functools.partial(self.model.init, method=self.model.init_all)
         )({"params": init_rng, "dropout": init_rng}, seq)
         self.params = jax.device_put(self.params, self.replicated)
-        if self._table_sharded:
-            table_sharding = NamedSharding(self.mesh, P("model", None))
+        if self._table_spec is not None:
+            table_sharding = NamedSharding(self.mesh, self._table_spec)
             p = dict(self.params["params"])
             emb = dict(p["embeddings"])
             emb["item_emb"] = jax.device_put(emb["item_emb"], table_sharding)
@@ -171,7 +195,7 @@ class Trainer:
             tx = build_optimizer(cfg.optimizer1, opt2, self.params,
                                  cfg.optimizer1.lr, cfg.optimizer2.lr)
             self.opt_state = jax.jit(tx.init)(self.params)
-        if model_axis == 1:
+        if model_axis == 1 and col_axis == 1:
             self.opt_state = jax.device_put(self.opt_state, self.replicated)
         # else: tx.init's jitted zeros_like inherits each param's sharding,
         # so the sharded table / TP kernels keep sharded optimizer moments
