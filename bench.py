@@ -339,17 +339,41 @@ def main():
             _log(f"torch mirror {baseline:.2f} ex/s")
         except Exception:
             baseline = None
+    serving = None
+    if "--skip-serving" not in sys.argv:
+        try:
+            # serving/eval/generation QPS (VERDICT r2 item 5): fold the
+            # eval_bench numbers into the driver-captured artifact and
+            # snapshot them to EVAL_BENCH.json for the per-round trail
+            import os
+
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+            from eval_bench import run as eval_bench_run
+
+            serving = eval_bench_run(emit=_log)
+            with open("EVAL_BENCH.json", "w") as f:
+                json.dump(serving, f, indent=1)
+        except Exception as e:
+            _log(f"serving bench failed: {e}")
+            serving = None
     vs = round(ours / baseline, 3) if baseline else None
     out = {
         "metric": "train_examples_per_sec_ml1m_hstu",
         "value": round(ours, 2),
         "unit": "examples/s/chip",
+        # NOTE: the mirror is an EAGER-PYTORCH **CPU** run of the reference
+        # recipe (sub-batch on small hosts) — not the north star's
+        # PyTorch-GPU reference, which is unmeasurable here (no GPU).
         "vs_baseline": vs,
+        "vs_cpu_torch_mirror": vs,
+        "baseline_note": "eager torch CPU mirror; not the PyTorch-GPU reference",
     }
     if long_n is not None:
         out["long_n_ml20m_examples_per_sec"] = round(long_n, 2)
     if long_n_bucketed is not None:
         out["long_n_bucketed_examples_per_sec"] = round(long_n_bucketed, 2)
+    if serving:
+        out.update(serving)
     print(json.dumps(out))
 
 

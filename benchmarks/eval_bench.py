@@ -18,7 +18,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def run(num_items: int = 3952, emit=print) -> dict:
+    """Run all serving/eval benches; emit() gets one JSON line per metric
+    and the collected {metric: value} dict is returned so bench.py can
+    fold the numbers into the driver-captured artifact (VERDICT r2
+    item 5)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,7 +37,12 @@ def main():
     from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
     from bench import make_batch
 
-    num_items = int(sys.argv[1]) if len(sys.argv) > 1 else 3952
+    results = {}
+
+    def _emit(metric, value, unit):
+        results[metric] = value
+        emit(json.dumps({"metric": metric, "value": value, "unit": unit}))
+
     b = 128
     batch = make_batch(b, 200, num_items)
     rng = jax.random.PRNGKey(0)
@@ -60,11 +69,8 @@ def main():
         ids, scores = eval_step(params, dev, candidates)
     float(scores.sum())
     dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "eval_step_queries_per_sec",
-        "value": round(b * n / dt, 1),
-        "unit": f"q/s (X={num_items}, fwd+filtered top-200)",
-    }))
+    _emit("eval_step_queries_per_sec", round(b * n / dt, 1),
+          f"q/s (X={num_items}, fwd+filtered top-200)")
 
     # raw MIPS top-k only
     queries = jax.device_put(
@@ -78,11 +84,8 @@ def main():
         out = mips_top_k(queries, candidates, cat_ids, k=200, max_item_id=num_items)
     float(out[1].sum())
     dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "mips_topk_queries_per_sec",
-        "value": round(b * n / dt, 1),
-        "unit": f"q/s (X={num_items}, k=200)",
-    }))
+    _emit("mips_topk_queries_per_sec", round(b * n / dt, 1),
+          f"q/s (X={num_items}, k=200)")
 
     # int8 pre-ranked eval step (index.quantize=int8 serving fast path)
     import copy
@@ -99,11 +102,8 @@ def main():
         ids8, scores8 = eval_step8(params, dev, cand8)
     float(scores8.sum())
     dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "eval_step_int8_queries_per_sec",
-        "value": round(b * n / dt, 1),
-        "unit": f"q/s (X={num_items}, int8 pre-rank + exact rescore)",
-    }))
+    _emit("eval_step_int8_queries_per_sec", round(b * n / dt, 1),
+          f"q/s (X={num_items}, int8 pre-rank + exact rescore)")
 
     # autoregressive generation (greedy / sample / beam), 5 steps
     import jax as _jax
@@ -123,11 +123,8 @@ def main():
             out = run(params, dev)
         np.asarray(out)
         dt = time.perf_counter() - t0
-        print(json.dumps({
-            "metric": f"generate_{name}_seqs_per_sec",
-            "value": round(b * 5 / dt, 1),
-            "unit": f"seq/s (X={num_items}, {steps} decode steps)",
-        }))
+        _emit(f"generate_{name}_seqs_per_sec", round(b * 5 / dt, 1),
+              f"seq/s (X={num_items}, {steps} decode steps)")
 
     def greedy(params, batch):
         seq, _, _ = seq_features_from_batch(batch, 11)
@@ -155,6 +152,11 @@ def main():
     bench_gen("greedy", greedy)
     bench_gen("sample", sample)
     bench_gen("beam4", beam)
+    return results
+
+
+def main():
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 3952)
 
 
 if __name__ == "__main__":

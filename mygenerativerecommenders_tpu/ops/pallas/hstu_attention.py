@@ -34,6 +34,7 @@ alignment via the wrapper's zero-padding).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,14 +49,15 @@ from mygenerativerecommenders_tpu.ops.hstu_attention import (
 )
 
 
-# query-tile rows per grid step. All tile-offset math below is written
-# for bq = r * bk (r >= 1), but 128 is the measured optimum: bq=256 at
-# NP=256 (ml-1m shapes) was neutral-to-worse on v5e (fwd 1.16 -> 1.18,
+# query-tile rows per grid step (env knob MYGR_TPU_BQ_ROWS, multiple of
+# 128). All tile-offset math below is written for bq = r * bk (r >= 1),
+# but 128 is the measured optimum and the default: bq=256 at NP=256
+# (ml-1m shapes) was neutral-to-worse on v5e (fwd 1.16 -> 1.18,
 # fwd+bwd 1.72 -> 1.88 ms — the per-grid-step floor is DMA/bookkeeping
 # latency that pipelines across steps, not per-step count), and padding
 # NP to a 256 multiple grows the NP²-shaped bias-grad work (1035 -> 1280
 # vs 1152; that program also hung the Mosaic compile >40 min at bq=256).
-_BQ_ROWS = 128
+_BQ_ROWS = max(128, (int(os.environ.get("MYGR_TPU_BQ_ROWS", 128)) // 128) * 128)
 
 
 def _pick_bq(np_total: int) -> int:

@@ -110,5 +110,22 @@ class CheckpointManager:
 
     @staticmethod
     def load_meta(path: str) -> Dict[str, Any]:
-        with open(os.path.join(path, "meta.json")) as f:
+        """Read the meta sidecar; tolerate a missing meta.json.
+
+        With async_save, a completed orbax save can exist without its
+        sidecar until the next flush() — a crash in that window must not
+        make an otherwise-complete 'last' checkpoint unrestorable
+        (ADVICE r2). Missing sidecar -> conservative defaults (resume
+        from step/epoch 0 with fresh controllers; params/opt_state still
+        restore fully through `restore`)."""
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_path):
+            return {
+                "step": 0,
+                "epoch": -1,
+                "monitor": None,
+                "metric_value": None,
+                "extra": {},
+            }
+        with open(meta_path) as f:
             return json.load(f)
