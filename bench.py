@@ -307,6 +307,151 @@ def bench_long_n_bucketed(users=2048):
     return users / dt
 
 
+def bench_packed_ml1m(users=4096, calls=4, steps_per_call=8):
+    """The ml-1m parity recipe fed PACKED (data/packing.py): best-fit
+    packs ~2.3 mean-111 segments per 256-token row, so a 128-example
+    step runs on ~56 rows instead of 128 padded rows — same supervised
+    terms, ~55% fewer tokens. Returns ex/s/chip (compare the headline
+    train_examples_per_sec_ml1m_hstu)."""
+    import jax
+
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.data.dataset import SequenceDataset
+    from mygenerativerecommenders_tpu.data.packing import PackedBatchLoader
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+    from mygenerativerecommenders_tpu.train.task_retrieval import make_train_step
+    from mygenerativerecommenders_tpu.utils.features import packed_seq_features
+
+    cfg = get_preset("ml-1m-hstu")
+    resolve(cfg, cfg.data.expected_max_item_id)
+    b, l = cfg.data.batch_size, cfg.data.max_sequence_length
+    rng_np = np.random.default_rng(0)
+    lengths = rng_np.integers(20, l, size=users).astype(np.int32)
+    ids = np.zeros((users, l), dtype=np.int32)
+    ts = np.zeros((users, l), dtype=np.int32)
+    for i, n in enumerate(lengths):
+        ids[i, :n] = rng_np.integers(1, 3952, size=n)
+        ts[i, :n] = np.sort(978_000_000 + rng_np.integers(0, 10**8, size=n))
+    ds = SequenceDataset(
+        lengths=lengths, ids=ids, ratings=np.ones_like(ids), timestamps=ts,
+        target_id=rng_np.integers(1, 3952, size=users).astype(np.int32),
+        target_rating=np.ones(users, dtype=np.int32),
+        target_timestamp=(ts.max(axis=1) + 100).astype(np.int32),
+        user_ids=np.arange(users), additional={},
+    )
+    cap = ((l + 1) + 127) // 128 * 128  # 256
+    mean_seg = float(lengths.mean() + 1)
+    rows = max(1, round(b * mean_seg / cap))
+    loader = PackedBatchLoader(
+        ds, rows_per_batch=rows, row_capacity=cap, shuffle=True, seed=1,
+        segments_per_batch=b,
+    )
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    probe = next(iter(loader))
+    params = jax.jit(model.init)(
+        {"params": rng, "dropout": rng}, packed_seq_features(probe)
+    )
+    all_ids = np.arange(1, cfg.data.expected_max_item_id + 1, dtype=np.int32)
+    tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
+    opt_state = jax.jit(tx.init)(params)
+    k = steps_per_call
+    step = make_train_step(model, cfg, all_ids, steps=k, packed=True)
+    batches = list(loader)
+    stack = {
+        key: np.stack([batches[i % len(batches)][key] for i in range(k)])
+        for key in batches[0]
+    }
+    db = jax.device_put(stack)
+    lr1 = cfg.optimizer1.lr
+    for _ in range(2):
+        params, opt_state, loss = step(params, opt_state, db, rng, lr1, 0.0)
+    float(loss[-1])
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        params, opt_state, loss = step(params, opt_state, db, rng, lr1, 0.0)
+    float(loss[-1])
+    dt = time.perf_counter() - t0
+    segs = sum(int(batches[i % len(batches)]["num_segments"].sum()) for i in range(k))
+    _log(
+        f"packed ml-1m: {dt / calls * 1e3:.1f} ms/call ({k} steps, "
+        f"{segs // k} segs/step, rows={rows} x cap={cap})"
+    )
+    return segs * calls / dt
+
+
+def bench_long_n_packed(users=2048):
+    """Same ml-20m-hstu-long config and realistic length mix as the
+    padded/bucketed rows, fed PACKED: several segments per row
+    (data/packing.py), block-diagonal fused attention with in-kernel
+    cross-segment tile skipping. One compiled program for every batch.
+    Returns ex/s over one timed epoch."""
+    import jax
+
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.data.packing import PackedBatchLoader
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
+    from mygenerativerecommenders_tpu.train.task_retrieval import make_train_step
+    from mygenerativerecommenders_tpu.utils.features import packed_seq_features
+
+    sys.path.insert(0, "benchmarks")
+    from bucket_bench import make_dataset
+
+    cfg = get_preset("ml-20m-hstu-long")
+    resolve(cfg, cfg.data.expected_max_item_id)
+    b, l = cfg.data.batch_size, cfg.data.max_sequence_length
+    ds = make_dataset(users, l, cfg.data.expected_max_item_id)
+    cap = ((l + 1) + 127) // 128 * 128
+    caps = [c for c in (256, 512, 1024) if c < cap] + [cap]
+    mean_seg = float(np.mean(ds.lengths) + 1.0)
+    rows = max(1, int(round(b * mean_seg / cap)))
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    loader = PackedBatchLoader(
+        ds, rows_per_batch=rows, row_capacity=cap, shuffle=True, seed=1,
+        capacities=caps, segments_per_batch=b,
+    )
+    probe = next(iter(loader))
+    pseq = packed_seq_features(probe)
+    params = jax.jit(model.init)({"params": rng, "dropout": rng}, pseq)
+    all_item_ids = np.sort(
+        np.random.default_rng(0).choice(
+            np.arange(1, cfg.data.expected_max_item_id + 1),
+            size=cfg.data.expected_num_unique_items,
+            replace=False,
+        )
+    ).astype(np.int32)
+    tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
+    opt_state = jax.jit(tx.init)(params)
+    train_step = make_train_step(model, cfg, all_item_ids, packed=True)
+    lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+    p, o = params, opt_state
+    for i, batch in enumerate(loader):  # warm epoch: compile
+        p, o, loss = train_step(p, o, jax.device_put(batch), rng, lr1, lr2)
+        if i % 8 == 7:
+            float(loss)
+    float(loss)
+    host_batches = list(loader)
+    n_ex = sum(int(x["num_segments"].sum()) for x in host_batches)
+    batches = [jax.device_put(x) for x in host_batches]
+    t0 = time.perf_counter()
+    for i, db in enumerate(batches):
+        p, o, loss = train_step(p, o, db, rng, lr1, lr2)
+        if i % 8 == 7:
+            float(loss)  # bound the dispatch queue (tunnel quirk)
+    float(loss)
+    dt = time.perf_counter() - t0
+    _log(
+        f"long-N packed epoch {dt * 1e3:.0f} ms ({n_ex} ex, caps={caps}, "
+        f"{len(batches)} steps)"
+    )
+    return n_ex / dt
+
+
 def main():
     b, l = 128, 200
     batch = make_batch(b, l, 3952)
@@ -321,6 +466,16 @@ def main():
     except Exception as e:
         _log(f"long-N bucketed bench failed: {e}")
         long_n_bucketed = None
+    try:
+        long_n_packed = bench_long_n_packed()
+    except Exception as e:
+        _log(f"long-N packed bench failed: {e}")
+        long_n_packed = None
+    try:
+        packed_ml1m = bench_packed_ml1m()
+    except Exception as e:
+        _log(f"packed ml-1m bench failed: {e}")
+        packed_ml1m = None
     baseline = None
     if "--skip-baseline" not in sys.argv:
         try:
@@ -372,6 +527,10 @@ def main():
         out["long_n_ml20m_examples_per_sec"] = round(long_n, 2)
     if long_n_bucketed is not None:
         out["long_n_bucketed_examples_per_sec"] = round(long_n_bucketed, 2)
+    if long_n_packed is not None:
+        out["long_n_packed_examples_per_sec"] = round(long_n_packed, 2)
+    if packed_ml1m is not None:
+        out["train_packed_ml1m_examples_per_sec"] = round(packed_ml1m, 2)
     if serving:
         out.update(serving)
     print(json.dumps(out))

@@ -256,6 +256,27 @@ class DataConfig:
     # no-padding-waste property; one XLA compile per bucket shape). The
     # last bucket must equal max_sequence_length. () = off.
     length_buckets: Tuple[int, ...] = ()
+    # SEQUENCE PACKING (train path): lay several examples end-to-end per
+    # row — each segment is its history + target as the final token —
+    # with block-diagonal attention via seg_ids and per-segment
+    # positional embeddings (data/packing.py). Removes within-row padding
+    # entirely (the true analog of the reference's jagged [sum(N_i), D]
+    # layout, hstu.py:439-480) under ONE compiled program, unlike
+    # bucketing's program-per-capacity. Retrieval task + HSTU rel_bias +
+    # learnable_positional preprocessor only; eval stays unpacked.
+    pack_sequences: bool = False
+    # tokens per packed row; 0 -> 2 * round_up(max_sequence_length+1, 128)
+    pack_row_capacity: int = 0
+    # rows per packed batch; 0 -> sized so a batch carries about
+    # batch_size segments on average (from the dataset's mean length)
+    pack_rows: int = 0
+    # ascending capacity CLASSES for packing-inside-buckets: each example
+    # packs with the smallest capacity >= its segment length, so short
+    # segments ride narrow rows (keeping the O(row_len^2) bias-gradient
+    # terms small) while rare long ones get wide rows. () = single
+    # capacity (pack_row_capacity). The largest must cover the longest
+    # segment (max_sequence_length + 1).
+    pack_capacities: Tuple[int, ...] = ()
 
 
 @dataclass

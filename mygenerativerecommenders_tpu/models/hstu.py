@@ -45,6 +45,10 @@ from mygenerativerecommenders_tpu.ops.hstu_attention import (
 )
 
 TIMESTAMPS_KEY = "timestamps"
+# packed-row segment ids payload ([B, N] int32, -1 at padding): several
+# independent sequences laid end-to-end per row; attention goes
+# block-diagonal (see ops/hstu_attention.py seg_ids)
+SEGMENT_IDS_KEY = "seg_ids"
 
 
 def _normal_init(std: float):
@@ -94,6 +98,7 @@ class HSTUBlock(nn.Module):
         x: jax.Array,  # [B, N, D], zero at invalid positions
         timestamps: Optional[jax.Array],  # [B, N] or None
         lengths: Optional[jax.Array] = None,  # [B] valid row counts
+        seg_pos: Optional[jax.Array] = None,  # [B, N] packed within-seg positions
         *,
         deterministic: bool = True,
     ) -> jax.Array:
@@ -141,6 +146,12 @@ class HSTUBlock(nn.Module):
                         "'time_position' (ring attention generates the "
                         "time bias per chunk)"
                     )
+                if seg_pos is not None:
+                    raise ValueError(
+                        "packed rows are not supported with ring attention "
+                        "(sp_shards > 1) — packing already removes the "
+                        "padding the ring would shard"
+                    )
                 attn = self._ring_attention(qh, kh, vh, timestamps, pos_w, ts_w)
             elif self.use_pallas and ts_w is not None:
                 from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
@@ -149,18 +160,31 @@ class HSTUBlock(nn.Module):
 
                 # lengths enable jagged tile skipping in the kernel: query
                 # and key tiles beyond each sequence's valid rows are never
-                # computed (exact — see hstu_attention_fused docstring)
+                # computed (exact — see hstu_attention_fused docstring);
+                # seg_ids make the attention block-diagonal for PACKED rows
                 attn = hstu_attention_fused(
                     qh, kh, vh, timestamps, pos_w, ts_w,
                     max_len=n_total, num_buckets=self.num_time_buckets,
-                    lengths=lengths,
+                    lengths=lengths, seg_positions=seg_pos,
                 )
             else:
+                # segments are contiguous, so segment start (row index -
+                # within-segment position) is a unique per-segment id
+                seg_equiv = (
+                    jnp.arange(n, dtype=jnp.int32)[None, :] - seg_pos
+                    if seg_pos is not None else None
+                )
                 attn = hstu_attention_reference(
-                    qh, kh, vh, materialize_bias(), max_len=n_total, causal=True
+                    qh, kh, vh, materialize_bias(), max_len=n_total, causal=True,
+                    seg_ids=seg_equiv,
                 )
             attn_out = attn.reshape(b, n, h * dv)
         elif self.normalization == "softmax_rel_bias":
+            if seg_pos is not None:
+                raise ValueError(
+                    "packed rows (seg_ids) are not supported with "
+                    "normalization='softmax_rel_bias'"
+                )
             # softmax path (hstu.py:341-389): single-head layout, softmax over
             # scaled logits, causal mask applied after softmax.
             bias = materialize_bias()
@@ -309,6 +333,12 @@ class HSTU(nn.Module):
         n_total = self.max_sequence_len + self.max_output_len
         x = user_embeddings
         timestamps = past_payloads.get(TIMESTAMPS_KEY)
+        # packed marker: seg_ids payload present -> positions drive the
+        # block-diagonal mask + tile skipping
+        seg_pos = (
+            past_payloads.get("positions")
+            if past_payloads.get(SEGMENT_IDS_KEY) is not None else None
+        )
 
         mask = valid_mask.astype(x.dtype)
         # per-sequence valid row count for the jagged kernel's tile
@@ -322,8 +352,8 @@ class HSTU(nn.Module):
             axis=1,
         )
 
-        def apply_block(block: HSTUBlock, bx: jax.Array, bts, blens) -> jax.Array:
-            return block(bx, bts, blens, deterministic=deterministic)
+        def apply_block(block: HSTUBlock, bx: jax.Array, bts, blens, bseg) -> jax.Array:
+            return block(bx, bts, blens, bseg, deterministic=deterministic)
 
         if self.remat:
             # drop each block's residuals (incl. the training-fwd kernel's
@@ -354,5 +384,5 @@ class HSTU(nn.Module):
                 tp_shards=self.tp_shards,
                 name=f"block_{i}",
             )
-            x = apply_block(block, x, timestamps, kernel_lengths)
+            x = apply_block(block, x, timestamps, kernel_lengths, seg_pos)
         return x * mask

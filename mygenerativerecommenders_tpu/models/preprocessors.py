@@ -80,7 +80,19 @@ class LearnablePositionalEmbeddingPreprocessor(InputPreprocessor):
             _trunc_normal_inv_sqrt_dim(self.embedding_dim),
             (self.max_sequence_len, self.embedding_dim),
         )
-        user_embeddings = past_embeddings * (self.embedding_dim**0.5) + pos_emb[None, :n, :]
+        positions = past_payloads.get("positions")
+        if positions is not None:
+            # PACKED rows: per-token within-segment positions ride as a
+            # payload (each segment's positions restart at 0); same
+            # pos_emb table, gathered instead of sliced
+            pos = jnp.take(
+                pos_emb,
+                jnp.clip(positions.astype(jnp.int32), 0, self.max_sequence_len - 1),
+                axis=0,
+            )
+        else:
+            pos = pos_emb[None, :n, :]
+        user_embeddings = past_embeddings * (self.embedding_dim**0.5) + pos
         user_embeddings = nn.Dropout(rate=self.dropout_rate)(
             user_embeddings, deterministic=deterministic
         )

@@ -85,6 +85,7 @@ def hstu_attention_reference(
     *,
     max_len: int,
     causal: bool = True,
+    seg_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Dense jnp HSTU attention.
 
@@ -95,6 +96,13 @@ def hstu_attention_reference(
       max_len: the static N used as the 1/n normalizer (reference divides
         by invalid_attn_mask.size(-1), hstu.py:193).
       causal: apply the lower-triangular-inclusive mask (hstu.py:595-607).
+      seg_ids: optional [B, N] int32 segment ids for PACKED rows (several
+        independent sequences laid end-to-end in one row, the TPU analog
+        of the reference's [sum(N_i), D] jagged layout): attention is
+        additionally masked to same-segment pairs, making it
+        block-diagonal. Because segments are contiguous, the relative
+        position (j - i) inside a segment equals the within-segment
+        offset, so the positional bias needs no adjustment.
 
     Returns:
       [B, N, H, Dv] float.
@@ -107,6 +115,9 @@ def hstu_attention_reference(
     if causal:
         causal_mask = jnp.tril(jnp.ones((n, n), dtype=jnp.bool_))
         attn = jnp.where(causal_mask[None, None, :, :], attn, 0.0)
+    if seg_ids is not None:
+        same_seg = seg_ids[:, :, None] == seg_ids[:, None, :]  # [B, N, N]
+        attn = jnp.where(same_seg[:, None, :, :], attn, 0.0)
     out = jnp.einsum(
         "bhnm,bmhd->bnhd", attn, v.astype(attn.dtype), preferred_element_type=jnp.float32
     )

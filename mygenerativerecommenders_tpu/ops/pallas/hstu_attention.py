@@ -97,22 +97,35 @@ def _kernel(
     v_ref,  # [1, NP, DV]
     tsq_ref,  # [1, 1, NP]  next-item timestamps for query rows
     tsk_ref,  # [1, 1, NP]  timestamps for key cols
-    posb_ref,  # [BQ, NP] positional bias tile (precomputed, batch-free)
-    tsw_ref,  # [1, lane-padded NB+1] time-bucket table (VMEM)
-    out_ref,  # [1, BQ, DV]
-    *,
+    *rest,  # [seg_ref [1, 1, NP] when has_seg,] posb_ref, tsw_ref, out_ref
     bq: int,
     bk: int,
     num_buckets: int,
     inv_n: float,
     n_valid: int,
+    has_seg: bool = False,
 ):
+    if has_seg:
+        seg_ref, posb_ref, tsw_ref, out_ref = rest
+    else:
+        seg_ref, (posb_ref, tsw_ref, out_ref) = None, rest
     qi = pl.program_id(2)
     np_total = k_ref.shape[1]
     seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
     q = q_ref[0].astype(jnp.float32)  # [BQ, D]
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)  # [BQ]
+    if has_seg:
+        # packed rows: seg_ref carries WITHIN-SEGMENT positions, so each
+        # query row's segment start is row - position. That yields both
+        # the block-diagonal mask (col >= seg_start, on top of causal)
+        # and the live key-tile LOWER bound: key tiles before the
+        # earliest segment start in this query tile are entirely
+        # cross-segment and are never iterated — a packed row costs
+        # sum(seg_i^2), not row_len^2. Positions are contiguous within a
+        # segment, so the Toeplitz positional stripe stays valid as-is.
+        pos_q = seg_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)  # [BQ]
+        seg_start_q = qi * bq + jax.lax.iota(jnp.int32, bq) - pos_q
 
     acc = jnp.zeros((bq, v_ref.shape[2]), dtype=jnp.float32)
 
@@ -144,7 +157,11 @@ def _kernel(
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         causal = row_ids >= col_ids
         in_range = jnp.logical_and(col_ids < seq_len, row_ids < seq_len)
-        a = jnp.where(jnp.logical_and(causal, in_range), a, 0.0)
+        live = jnp.logical_and(causal, in_range)
+        if has_seg:
+            # same segment <=> col within [seg_start, row] (causal above)
+            live = jnp.logical_and(live, col_ids >= seg_start_q[:, None])
+        a = jnp.where(live, a, 0.0)
 
         return acc + jax.lax.dot_general(
             a, v_tile,
@@ -157,14 +174,21 @@ def _kernel(
     # query blocks fully past the length produce zero rows outright
     n_kj = jnp.minimum((qi + 1) * (bq // bk), (seq_len + bk - 1) // bk)
     n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
-    acc = jax.lax.fori_loop(0, n_kj, body, acc)
+    kj_lo = 0
+    if has_seg:
+        # packed: key tiles before this query tile's earliest segment
+        # start are entirely cross-segment — skip them
+        kj_lo = jnp.maximum(jnp.min(seg_start_q), 0) // bk
+        kj_lo = jnp.minimum(kj_lo, n_kj)
+    acc = jax.lax.fori_loop(kj_lo, n_kj, body, acc)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
 
 
 def hstu_attention_fused(
-    q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, lengths=None
+    q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets, lengths=None,
+    seg_positions=None,
 ):
     """Fused HSTU attention with on-the-fly relative time+position bias.
 
@@ -181,31 +205,50 @@ def hstu_attention_fused(
         hstu.py:439-480) and output rows >= length are exactly zero.
         Bit-exact for rows < length: the skipped tiles' contributions are
         exact zeros in the dense math (masked keys have v == 0).
+      seg_positions: optional [B, N] int32 WITHIN-SEGMENT positions for
+        PACKED rows (several independent sequences end-to-end per row;
+        each segment's positions restart at 0). Attention is masked to
+        same-segment pairs (block-diagonal, derived as col >= row -
+        position) and the kernels' key-tile loops skip tiles before each
+        query tile's earliest segment start — a packed row costs
+        sum(seg_i^2) tiles, not row_len^2. Positions are contiguous
+        within a segment, so the block-Toeplitz positional stripe is
+        already correct per segment; the timestamp bias reads the
+        per-token data. Compose with `lengths` = total packed tokens per
+        row.
 
     Returns [B, N, H, Dv] float32.
     """
     if lengths is None:
         lengths = jnp.full((q.shape[0],), q.shape[1], dtype=jnp.int32)
+    if seg_positions is not None:
+        seg_positions = seg_positions.astype(jnp.int32)
     return _fused_len(
-        q, k, v, timestamps, lengths.astype(jnp.int32), pos_w, ts_w,
-        max_len, num_buckets,
+        q, k, v, timestamps, seg_positions, lengths.astype(jnp.int32),
+        pos_w, ts_w, max_len, num_buckets,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _fused_len(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_len(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets):
     return _fused_fwd_impl(
-        q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
+        q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets
     )
 
 
-def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
+def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets):
     b, n, h, dqk = q.shape
     dv = v.shape[-1]
     # n < max_len under length-bucketed batching: the 1/max_len normalizer
     # and the pos-table center stay at the full static length (the
     # reference normalizes by its constant mask buffer size, hstu.py:193)
-    assert n <= max_len, f"sequence dim {n} > max_len {max_len}"
+    # packed rows may exceed max_len (their SEGMENTS are bounded by it):
+    # pos-table offsets beyond +-(max_len-1) occur only on cross-segment
+    # pairs, which the block-diagonal mask zeroes (clipped stripe values
+    # never contribute)
+    assert seg_pos is not None or n <= max_len, (
+        f"sequence dim {n} > max_len {max_len}"
+    )
 
     bk = 128  # lane-dim slices must be 128-aligned on TPU
     np_total = _round_up(n, bk)
@@ -230,9 +273,14 @@ def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
     ts_next = jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1)  # ext[n+1]
     ts_next = pad_to(ts_next, np_total, 1)
     ts_key = pad_to(ts, np_total, 1)
+    has_seg = seg_pos is not None
+    if has_seg:
+        seg = pad_to(seg_pos.astype(jnp.int32), np_total, 1)
     if h > 1:
         ts_next = jnp.repeat(ts_next, h, axis=0)
         ts_key = jnp.repeat(ts_key, h, axis=0)
+        if has_seg:
+            seg = jnp.repeat(seg, h, axis=0)
     # 3-D layout so the (sublane, lane) block dims can cover the full row
     ts_next = ts_next[:, None, :]
     ts_key = ts_key[:, None, :]
@@ -252,6 +300,27 @@ def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
     grid = (b * h, 1, n_q_blocks)
     lens_bh = jnp.repeat(lengths, h) if h > 1 else lengths
 
+    row_spec = pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi, lens: (bh, qi, 0)),
+        pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
+        pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
+        row_spec,
+        row_spec,
+    ]
+    inputs = [lens_bh, qf, kf, vf, ts_next, ts_key]
+    if has_seg:
+        in_specs.append(row_spec)
+        inputs.append(seg[:, None, :])
+    in_specs.extend([
+        pl.BlockSpec((bq, np_total), lambda bh, _, qi, lens: (0, 0)),
+        pl.BlockSpec(
+            (1, _round_up(num_buckets + 1, 128)),
+            lambda bh, _, qi, lens: (0, 0),
+        ),
+    ])
+    inputs.extend([pos_bias, ts_w_2d])
+
     out = pl.pallas_call(
         functools.partial(
             _kernel,
@@ -260,22 +329,12 @@ def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
             num_buckets=num_buckets,
             inv_n=1.0 / max_len,
             n_valid=n,
+            has_seg=has_seg,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi, lens: (bh, qi, 0)),
-                pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0)),
-                pl.BlockSpec((bq, np_total), lambda bh, _, qi, lens: (0, 0)),
-                pl.BlockSpec(
-                    (1, _round_up(num_buckets + 1, 128)),
-                    lambda bh, _, qi, lens: (0, 0),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, bq, dv_pad), lambda bh, _, qi, lens: (bh, qi, 0)
             ),
@@ -289,7 +348,7 @@ def _fused_fwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
             bytes_accessed=4 * b * h * n * (2 * dqk + 2 * dv),
             transcendentals=b * h * n * n * 2,
         ),
-    )(lens_bh, qf, kf, vf, ts_next, ts_key, pos_bias, ts_w_2d)
+    )(*inputs)
 
     out = out[:, :n, :dv].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
     return out
@@ -336,19 +395,22 @@ def _bwd_fused_kernel(
     g_ref,  # [1, BQ, DV]     cotangent tile (b*H+h, qi)
     tsq_ref,  # [1, 1, NP] next-item timestamps (per b)
     tsk_ref,  # [1, 1, NP] key timestamps (per b)
-    posb_ref,  # [BQ, NP] block-Toeplitz positional stripe
-    tsw_ref,  # [1, lane-padded NB+1] time-bucket table
-    dq_ref,  # out [1, BQ, D]
-    dk_ref,  # out [1, H, NP, D]   accumulated across qi (resident per b)
-    dv_ref,  # out [1, H, NP, DV]
-    dzh_ref,  # out [1, BQ, NP]    head-summed dz (accumulated across h)
-    *,
+    *rest,  # [seg_ref [1, 1, NP] when has_seg,] posb_ref, tsw_ref, then
+    # outputs: dq_ref [1, BQ, D], dk_ref [1, H, NP, D] (accumulated
+    # across qi, resident per b), dv_ref [1, H, NP, DV],
+    # dzh_ref [1, BQ, NP] (head-summed dz, accumulated across h)
     bq: int,
     bk: int,
     num_buckets: int,
     inv_n: float,
     n_valid: int,
+    has_seg: bool = False,
 ):
+    if has_seg:
+        seg_ref, posb_ref, tsw_ref, dq_ref, dk_ref, dv_ref, dzh_ref = rest
+    else:
+        seg_ref = None
+        posb_ref, tsw_ref, dq_ref, dk_ref, dv_ref, dzh_ref = rest
     qi = pl.program_id(1)
     h = pl.program_id(2)
     np_total = k_ref.shape[2]
@@ -358,6 +420,10 @@ def _bwd_fused_kernel(
     q = q_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
+    if has_seg:
+        # seg_ref carries within-segment positions (see forward kernel)
+        pos_q = seg_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
+        seg_start_q = qi * bq + jax.lax.iota(jnp.int32, bq) - pos_q
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     d_dim, dv_dim = k_ref.shape[3], v_ref.shape[3]
 
@@ -383,6 +449,8 @@ def _bwd_fused_kernel(
         v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
         mask = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
         mask = jnp.logical_and(mask, row_ids < seq_len)
+        if has_seg:
+            mask = jnp.logical_and(mask, col_ids >= seg_start_q[:, None])
 
         # recompute z exactly as the forward kernel does
         s = jax.lax.dot_general(
@@ -430,11 +498,16 @@ def _bwd_fused_kernel(
 
     # live tile range, exactly as the forward: key blocks <= the causal
     # frontier AND within this sequence's length; dead query blocks run
-    # zero iterations (their dq is zero, dzh stays at the memset zeros)
+    # zero iterations (their dq is zero, dzh stays at the memset zeros);
+    # packed rows additionally skip tiles before the earliest segment
     n_kj = jnp.minimum((qi + 1) * (bq // bk), (seq_len + bk - 1) // bk)
     n_kj = jnp.where(qi * bq < seq_len, n_kj, 0)
+    kj_lo = 0
+    if has_seg:
+        kj_lo = jnp.maximum(jnp.min(seg_start_q), 0) // bk
+        kj_lo = jnp.minimum(kj_lo, n_kj)
     dq = jax.lax.fori_loop(
-        0, n_kj, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
+        kj_lo, n_kj, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
     )
     dq_ref[0] = dq
 
@@ -544,7 +617,7 @@ def _pos_toeplitz(pos_w, np_total, max_len, bq, bk):
     return flat[:, :np_total].astype(jnp.float32)
 
 
-def _fused_bwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets, g):
+def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets, g):
     pr = _prepare(q, k, v, timestamps, max_len)
     bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
     b, h, n = pr["b"], pr["h"], pr["n"]
@@ -563,29 +636,41 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
         ts_w.reshape(1, -1).astype(jnp.float32),
         ((0, 0), (0, _round_up(nb1, 128) - nb1)),
     )
+    has_seg = seg_pos is not None
+
+    row_spec = pl.BlockSpec((1, 1, np_total), lambda bi, qi, hi, lens: (bi, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+        pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+        row_spec,
+        row_spec,
+    ]
+    inputs = [lengths, k4, v4, pr["qf"], gf, tsq_b, tsk_b]
+    if has_seg:
+        seg_b = pr["pad_to"](seg_pos.astype(jnp.int32), np_total, 1)[:, None, :]
+        in_specs.append(row_spec)
+        inputs.append(seg_b)
+    in_specs.extend([
+        pl.BlockSpec((bq, np_total), lambda bi, qi, hi, lens: (0, 0)),
+        pl.BlockSpec(
+            (1, _round_up(num_buckets + 1, 128)),
+            lambda bi, qi, hi, lens: (0, 0),
+        ),
+    ])
+    inputs.extend([pos_bias, ts_w_2d])
 
     dqf, dk4, dv4, dzh = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel,
             bq=bq, bk=bk, num_buckets=num_buckets,
-            inv_n=1.0 / max_len, n_valid=n,
+            inv_n=1.0 / max_len, n_valid=n, has_seg=has_seg,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-                pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-                pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
-                pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
-                pl.BlockSpec((1, 1, np_total), lambda bi, qi, hi, lens: (bi, 0, 0)),
-                pl.BlockSpec((1, 1, np_total), lambda bi, qi, hi, lens: (bi, 0, 0)),
-                pl.BlockSpec((bq, np_total), lambda bi, qi, hi, lens: (0, 0)),
-                pl.BlockSpec(
-                    (1, _round_up(num_buckets + 1, 128)),
-                    lambda bi, qi, hi, lens: (0, 0),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
                 pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
@@ -607,7 +692,7 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
             bytes_accessed=4 * b * np_total * np_total,
             transcendentals=b * h * n * n,
         ),
-    )(lengths, k4, v4, pr["qf"], gf, tsq_b, tsk_b, pos_bias, ts_w_2d)
+    )(*inputs)
     # dzh is already head-summed in-kernel; ts rows are per-b (stride h)
     dtw_out = _dtw_from_dz(dzh, tsq_b, tsk_b, num_buckets)
 
@@ -636,22 +721,22 @@ def _fused_bwd_impl(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buck
     return dq, dk, dv, dpw, dtw_out
 
 
-def _fused_fwd(q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets):
+def _fused_fwd(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets):
     # flash-style: no activation residuals — the backward recomputes the
     # z tiles from the raw inputs, so the training forward IS the
     # inference kernel and nothing [N, N]-shaped is saved
     out = _fused_fwd_impl(
-        q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets
+        q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets
     )
-    return out, (q, k, v, timestamps, lengths, pos_w, ts_w)
+    return out, (q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w)
 
 
 def _fused_bwd(max_len, num_buckets, residuals, g):
-    q, k, v, timestamps, lengths, pos_w, ts_w = residuals
+    q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w = residuals
     dq, dk, dv, dpw, dtw = _fused_bwd_impl(
-        q, k, v, timestamps, lengths, pos_w, ts_w, max_len, num_buckets, g
+        q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets, g
     )
-    return dq, dk, dv, None, None, dpw, dtw
+    return dq, dk, dv, None, None, None, dpw, dtw
 
 
 _fused_len.defvjp(_fused_fwd, _fused_bwd)

@@ -204,9 +204,12 @@ class Trainer:
         # --- steps
         self._multi_step_cache: Dict[int, Any] = {}
         self.task = cfg.model.task
+        self._packed = bool(cfg.data.pack_sequences)
+        if self._packed and self.task != "retrieval":
+            raise ValueError("data.pack_sequences supports the retrieval task only")
         if self.task == "retrieval":
             self.train_step = task_retrieval.make_train_step(
-                self.model, cfg, self.all_item_ids
+                self.model, cfg, self.all_item_ids, packed=self._packed
             )
             self.eval_step = task_retrieval.make_eval_step(
                 self.model, cfg, self.all_item_ids, self.data.max_item_id
@@ -384,7 +387,8 @@ class Trainer:
         if k not in self._multi_step_cache:
             if self.task == "retrieval":
                 fn = task_retrieval.make_train_step(
-                    self.model, self.cfg, self.all_item_ids, steps=k
+                    self.model, self.cfg, self.all_item_ids, steps=k,
+                    packed=self._packed,
                 )
             else:
                 from mygenerativerecommenders_tpu.train import task_ranking
@@ -393,8 +397,47 @@ class Trainer:
             self._multi_step_cache[k] = fn
         return self._multi_step_cache[k]
 
-    def _loader(self, split: str) -> BatchLoader:
-        """Split loader sharded by process (multi-host data parallelism)."""
+    def _loader(self, split: str, packed: bool = False):
+        """Split loader sharded by process (multi-host data parallelism).
+        packed=True (train only) returns the PackedBatchLoader."""
+        if packed:
+            from mygenerativerecommenders_tpu.data.packing import (
+                PackedBatchLoader,
+            )
+
+            d = self.cfg.data
+            # capacity = one max segment rounded to the 128-tile: larger
+            # rows amortize the endcap better but the O(row_len^2)
+            # bias-table gradient terms grow faster (measured: 2x capacity
+            # was a net 4x slowdown at ml-20m-long shapes)
+            cap = d.pack_row_capacity or (
+                (d.max_sequence_length + 1 + 127) // 128 * 128
+            )
+            ds = self.data.dataset(split)
+            caps = list(d.pack_capacities) or None
+            if caps:
+                cap = max(caps)
+            rows = d.pack_rows
+            if not rows:
+                mean_seg = float(np.mean(ds.lengths) + 1.0) if len(ds) else 1.0
+                rows = max(1, int(round(d.batch_size * mean_seg / cap)))
+            # rows shard over the mesh's data axis — round up to a multiple
+            data_ax = dict(self.mesh.shape).get("data", 1)
+            rows = ((rows + data_ax - 1) // data_ax) * data_ax
+            return PackedBatchLoader(
+                ds,
+                rows_per_batch=rows,
+                row_capacity=cap,
+                shuffle=(split == "train"),
+                seed=self.cfg.trainer.seed,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                capacities=caps,
+                row_multiple=data_ax,
+                # every class emits ~batch_size-example batches, matching
+                # the unpacked recipe's step semantics
+                segments_per_batch=(0 if d.pack_rows else d.batch_size),
+            )
         return self.data.loader(
             split,
             process_index=jax.process_index(),
@@ -467,7 +510,10 @@ class Trainer:
                 jax.profiler.stop_trace()
                 log.info(f"wrote profiler trace to {profile_dir}")
             self.global_step += 1
-            examples += int(batch["sample_weight"].sum())
+            examples += int(
+                batch["num_segments"].sum() if "num_segments" in batch
+                else batch["sample_weight"].sum()
+            )
             if self.global_step % t_cfg.log_every_n_steps == 0:
                 loss_val = float(out.loss)
                 losses.append(loss_val)
@@ -508,7 +554,13 @@ class Trainer:
             self.params, self.opt_state = out.params, out.opt_state
             prev = self.global_step
             self.global_step += n_steps
-            examples += sum(int(b["sample_weight"].sum()) for b in host_batches)
+            examples += sum(
+                int(
+                    b["num_segments"].sum() if "num_segments" in b
+                    else b["sample_weight"].sum()
+                )
+                for b in host_batches
+            )
             if prev // log_n != self.global_step // log_n:
                 loss_val = float(np.asarray(out.loss).reshape(-1)[-1])
                 self.writer.log(
@@ -573,7 +625,7 @@ class Trainer:
     def fit(self) -> Dict[str, float]:
         cfg, t = self.cfg, self.cfg.trainer
         monitor_key = t.monitor.split("/", 1)[1] if "/" in t.monitor else t.monitor
-        train_loader = self._loader("train")
+        train_loader = self._loader("train", packed=self._packed)
         val_loader = self._loader("val")
         if t.ckpt_path:
             self.restore(t.ckpt_path)

@@ -68,8 +68,32 @@ def make_loss_fn(
     model: GenerativeRecommender,
     cfg: Config,
     all_item_ids: np.ndarray,
+    packed: bool = False,
 ) -> Callable:
-    """Builds loss_fn(params, batch, rng) -> scalar loss."""
+    """Builds loss_fn(params, batch, rng) -> scalar loss.
+
+    packed=True consumes PackedBatchLoader batches (data/packing.py):
+    several segments per row, targets inline as each segment's last
+    token, supervision masked at segment boundaries. The set of
+    supervised (position, target) terms matches the unpacked layout for
+    the same examples exactly."""
+    if packed:
+        p = cfg.model
+        problems = []
+        if p.task != "retrieval":
+            problems.append("model.task=retrieval")
+        if p.preprocessor.kind != "learnable_positional":
+            problems.append("preprocessor.kind=learnable_positional")
+        if p.encoder.kind != "hstu" or p.encoder.normalization not in (
+            "rel_bias", "hstu_rel_bias"
+        ):
+            problems.append("encoder.kind=hstu with rel_bias normalization")
+        if p.encoder.sp_shards > 1:
+            problems.append("encoder.sp_shards=1 (packing replaces the ring)")
+        if problems:
+            raise ValueError(
+                "data.pack_sequences requires: " + ", ".join(problems)
+            )
     sampler = make_sampler(cfg)
     loss_cfg = cfg.model.loss
     # NOTE: keep closure constants as NUMPY arrays — device-array
@@ -123,12 +147,25 @@ def make_loss_fn(
     def encode_for_loss(params: Any, batch: Dict[str, jax.Array], rng: jax.Array):
         """Shared preamble of every retrieval loss variant: target scatter
         (retrieval.py:86-90), embed, forward, shift-by-one supervision
-        layout (outputs[:, :-1] vs ids[:, 1:]) and presence weights."""
+        layout (outputs[:, :-1] vs ids[:, 1:]) and presence weights.
+
+        Packed layout: targets are already inline (each segment's last
+        token) and the shift-by-one additionally masks segment
+        boundaries, so position p supervises ids[p+1] only when p+1 is
+        in the SAME segment."""
         drop_rng, neg_rng = jax.random.split(rng)
-        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
-        # target goes at position `length` (retrieval.py:86-90)
-        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
-        seq = seq._replace(past_ids=past_ids)
+        if packed:
+            from mygenerativerecommenders_tpu.utils.features import (
+                packed_seq_features,
+            )
+
+            seq = packed_seq_features(batch)
+            past_ids = seq.past_ids
+        else:
+            seq, target_ids, _ = seq_features_from_batch(batch, max_out)
+            # target goes at position `length` (retrieval.py:86-90)
+            past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+            seq = seq._replace(past_ids=past_ids)
 
         def lookup(ids):
             return model.apply(params, ids, method=model.item_embeddings)
@@ -143,7 +180,13 @@ def make_loss_fn(
         sup_ids = past_ids[:, 1:]  # [B, N-1]
         sup_emb = input_embeddings[:, 1:, :]
         weights = (sup_ids != 0).astype(jnp.float32)
-        if "sample_weight" in batch:
+        if packed:
+            seg = batch["seg_ids"]
+            same_seg = jnp.logical_and(
+                seg[:, 1:] == seg[:, :-1], seg[:, :-1] >= 0
+            )
+            weights = weights * same_seg.astype(jnp.float32)
+        elif "sample_weight" in batch:
             weights = weights * batch["sample_weight"][:, None]
         return lookup, past_ids, outputs, sup_ids, sup_emb, weights, neg_rng
 
@@ -314,15 +357,22 @@ def make_train_step(
     cfg: Config,
     all_item_ids: np.ndarray,
     steps: int = 1,
+    packed: bool = False,
 ) -> Callable:
     """train_step(params, opt_state, batch, rng, lr1, lr2) -> TrainStepOutput."""
     if cfg.model.embedding.lazy_update:
+        if packed:
+            raise ValueError(
+                "data.pack_sequences does not compose with "
+                "embedding.lazy_update yet (the lazy step derives touched "
+                "rows from the unpacked layout)"
+            )
         from mygenerativerecommenders_tpu.train.lazy_embedding import (
             make_lazy_train_step,
         )
 
         return make_lazy_train_step(model, cfg, all_item_ids, steps)
-    loss_fn = make_loss_fn(model, cfg, all_item_ids)
+    loss_fn = make_loss_fn(model, cfg, all_item_ids, packed=packed)
     return train_step_from_loss(loss_fn, cfg, steps)
 
 

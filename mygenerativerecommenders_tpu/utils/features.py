@@ -77,3 +77,23 @@ def seq_features_from_batch(
         batch["target_id"].astype(jnp.int32),
         batch["target_rating"].astype(jnp.int32),
     )
+
+
+def packed_seq_features(batch: Dict[str, jax.Array]) -> SequenceBatch:
+    """PackedBatchLoader batch -> SequenceBatch (data/packing.py).
+
+    No output-slot padding or target scatter: targets are already each
+    segment's last token, and the `positions` / `seg_ids` payloads drive
+    the positional gather (models/preprocessors.py) and block-diagonal
+    attention (models/hstu.py SEGMENT_IDS_KEY)."""
+    return SequenceBatch(
+        past_lengths=batch["lengths"].astype(jnp.int32),
+        past_ids=batch["ids"].astype(jnp.int32),
+        past_embeddings=None,
+        past_payloads={
+            "timestamps": batch["timestamps"].astype(jnp.int32),
+            "ratings": batch["ratings"].astype(jnp.int32),
+            "positions": batch["positions"].astype(jnp.int32),
+            "seg_ids": batch["seg_ids"].astype(jnp.int32),
+        },
+    )

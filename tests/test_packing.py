@@ -1,0 +1,312 @@
+"""Sequence packing (data/packing.py + packed model/loss paths).
+
+Packing is the TPU analog of the reference's jagged [sum(N_i), D] layout
+(hstu.py:439-480): several examples per row, block-diagonal attention.
+These tests pin the invariants that make it loss-equivalent:
+
+- the packer emits every example exactly once with correct tokens,
+  positions, and segment ids;
+- the packed forward reproduces the unpacked forward per segment;
+- the packed fused Pallas kernel matches the packed jnp reference
+  (fwd + grads, interpret mode);
+- the packed shared-negatives loss and its grads equal the unpacked
+  loss on the same examples;
+- the Trainer runs end-to-end with data.pack_sequences=true.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mygenerativerecommenders_tpu.configs import resolve
+from mygenerativerecommenders_tpu.configs.presets import get_preset
+from mygenerativerecommenders_tpu.data.dataset import SequenceDataset
+from mygenerativerecommenders_tpu.data.packing import PackedBatchLoader, pack_rows
+from mygenerativerecommenders_tpu.models.model import build_model
+from mygenerativerecommenders_tpu.ops.sequence import scatter_at_lengths
+from mygenerativerecommenders_tpu.train.task_retrieval import make_loss_fn
+from mygenerativerecommenders_tpu.utils.features import (
+    packed_seq_features,
+    seq_features_from_batch,
+)
+
+NUM_ITEMS = 200
+
+
+def make_dataset(rng, users=24, l_max=30):
+    lengths = rng.integers(3, l_max, size=users).astype(np.int32)
+    ids = np.zeros((users, l_max), dtype=np.int32)
+    ts = np.zeros((users, l_max), dtype=np.int32)
+    ratings = np.zeros((users, l_max), dtype=np.int32)
+    for i, n in enumerate(lengths):
+        ids[i, :n] = rng.integers(1, NUM_ITEMS, size=n)
+        ts[i, :n] = np.sort(rng.integers(1000, 10**6, size=n))
+        ratings[i, :n] = rng.integers(1, 6, size=n)
+    return SequenceDataset(
+        lengths=lengths,
+        ids=ids,
+        ratings=ratings,
+        timestamps=ts,
+        target_id=rng.integers(1, NUM_ITEMS, size=users).astype(np.int32),
+        target_rating=rng.integers(1, 6, size=users).astype(np.int32),
+        target_timestamp=(ts.max(axis=1) + 10).astype(np.int32),
+        user_ids=np.arange(users),
+        additional={},
+    )
+
+
+def test_pack_rows_next_fit():
+    rows = pack_rows(np.array([5, 5, 5, 4, 10, 1]), capacity=10)
+    np.testing.assert_array_equal(rows, [0, 0, 1, 1, 2, 3])
+
+
+def test_packer_round_trip(rng):
+    ds = make_dataset(rng)
+    loader = PackedBatchLoader(ds, rows_per_batch=4, row_capacity=64,
+                               shuffle=True, seed=3)
+    seen = []
+    for batch in loader:
+        assert batch["ids"].shape == (4, 64)
+        for r in range(4):
+            seg = batch["seg_ids"][r]
+            n_segs = int(batch["num_segments"][r])
+            assert int(batch["lengths"][r]) == int((seg >= 0).sum())
+            for s in range(n_segs):
+                tok = np.where(seg == s)[0]
+                assert np.all(np.diff(tok) == 1)  # contiguous
+                np.testing.assert_array_equal(
+                    batch["positions"][r][tok], np.arange(len(tok))
+                )
+                seen.append(
+                    (tuple(batch["ids"][r][tok]),
+                     tuple(batch["timestamps"][r][tok]))
+                )
+    # every example exactly once, with history + target tokens
+    expected = []
+    for e in range(len(ds)):
+        n = ds.lengths[e]
+        expected.append(
+            (tuple(ds.ids[e, :n]) + (ds.target_id[e],),
+             tuple(ds.timestamps[e, :n]) + (ds.target_timestamp[e],))
+        )
+    assert sorted(seen) == sorted(expected)
+
+
+def _cfg(use_pallas="false"):
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.max_sequence_length = 30
+    cfg.model.encoder.use_pallas = use_pallas
+    # dropout off: packing reshapes rows, so dropout masks (drawn per
+    # array position) would differ between layouts
+    cfg.model.preprocessor.dropout_rate = 0.0
+    cfg.model.encoder.linear_dropout_rate = 0.0
+    cfg.model.loss.shared_negatives = True  # layout-independent negatives
+    resolve(cfg, NUM_ITEMS)
+    return cfg
+
+
+def _unpacked_batch(ds):
+    return {
+        "lengths": ds.lengths,
+        "ids": ds.ids,
+        "ratings": ds.ratings,
+        "timestamps": ds.timestamps,
+        "target_id": ds.target_id,
+        "target_rating": ds.target_rating,
+        "target_timestamp": ds.target_timestamp,
+        "sample_weight": np.ones(len(ds), dtype=np.float32),
+    }
+
+
+def test_packed_forward_matches_unpacked(rng):
+    """Encoded output at each packed position == the same example's
+    output at the same within-segment position in the unpacked layout."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    ds = make_dataset(rng)
+    batch = _unpacked_batch(ds)
+
+    seq, target_ids, _ = seq_features_from_batch(
+        batch, cfg.model.gr_output_length + 1
+    )
+    past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+    seq = seq._replace(past_ids=past_ids)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        seq, method=model.init_all,
+    )
+    unpacked, _ = model.apply(params, seq, deterministic=True)
+    unpacked = np.asarray(unpacked)
+
+    loader = PackedBatchLoader(ds, rows_per_batch=4, row_capacity=64)
+    for pbatch in loader:
+        pseq = packed_seq_features(pbatch)
+        packed, _ = model.apply(params, pseq, deterministic=True)
+        packed = np.asarray(packed)
+        for r in range(pbatch["ids"].shape[0]):
+            seg = pbatch["seg_ids"][r]
+            for s in range(int(pbatch["num_segments"][r])):
+                tok = np.where(seg == s)[0]
+                # identify the example by its token ids
+                ids_seg = pbatch["ids"][r][tok]
+                e = next(
+                    i for i in range(len(ds))
+                    if np.array_equal(
+                        np.asarray(past_ids)[i, : len(tok)], ids_seg
+                    )
+                    and ds.lengths[i] + 1 == len(tok)
+                )
+                # compare history rows only: the segment's LAST token (the
+                # target) legitimately differs — its "next-item" timestamp
+                # is the following segment's first ts in the packed layout
+                # vs padding in the unpacked one. That row is provably
+                # unused: zero supervision weight, and no later
+                # same-segment query attends to it as a key.
+                np.testing.assert_allclose(
+                    packed[r, tok[:-1], :],
+                    unpacked[e, : len(tok) - 1, :],
+                    rtol=2e-4, atol=2e-5,
+                )
+
+
+def test_packed_fused_kernel_matches_packed_reference(rng):
+    """Fused Pallas kernel with seg_ids vs the jnp packed reference —
+    fwd and grads, interpret mode (the fbgemm-vs-fallback analog)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops.hstu_attention import (
+        hstu_attention_reference,
+        relative_position_bias,
+        relative_time_bias,
+    )
+    from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+        hstu_attention_fused,
+    )
+
+    b, n, h, dqk, dv = 2, 150, 2, 16, 16
+    q = jnp.asarray(rng.normal(size=(b, n, h, dqk)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, n, h, dqk)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, h, dv)), dtype=jnp.float32)
+    ts = jnp.asarray(
+        np.sort(rng.integers(1000, 10**6, size=(b, n)), axis=1), dtype=jnp.int32
+    )
+    pos_w = jnp.asarray(rng.normal(size=(2 * n - 1,)) * 0.02, dtype=jnp.float32)
+    ts_w = jnp.asarray(rng.normal(size=(129,)) * 0.02, dtype=jnp.float32)
+    # 3 segments in row 0, 2 in row 1, plus padding tail
+    seg = np.full((b, n), -1, dtype=np.int32)
+    pos = np.zeros((b, n), dtype=np.int32)
+    bounds = {0: [(0, 50), (50, 90), (90, 130)], 1: [(0, 80), (80, 140)]}
+    for r, spans in bounds.items():
+        for s, (lo, hi) in enumerate(spans):
+            seg[r, lo:hi] = s
+            pos[r, lo:hi] = np.arange(hi - lo)
+    lengths = jnp.asarray([130, 140], dtype=jnp.int32)
+    seg, pos = jnp.asarray(seg), jnp.asarray(pos)
+
+    def ref(q, k, v, pos_w, ts_w):
+        bias = relative_position_bias(pos_w, n)[None, :, :]
+        bias = bias + relative_time_bias(ts_w, ts, 128)
+        out = hstu_attention_reference(
+            q, k, v, bias, max_len=n, causal=True, seg_ids=seg
+        )
+        # zero rows beyond lengths like the kernel's jagged skipping
+        valid = (jnp.arange(n)[None, :] < lengths[:, None]).astype(out.dtype)
+        return out * valid[:, :, None, None]
+
+    def fused(q, k, v, pos_w, ts_w):
+        return hstu_attention_fused(
+            q, k, v, ts, pos_w, ts_w, n, 128, lengths=lengths,
+            seg_positions=pos,
+        )
+
+    expected = np.asarray(ref(q, k, v, pos_w, ts_w))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fused(q, k, v, pos_w, ts_w))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+    def loss_of(fn):
+        def f(q, k, v, pos_w, ts_w):
+            out = fn(q, k, v, pos_w, ts_w)
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+            return (out * w).sum() * 1e-3
+        return f
+
+    g_ref = jax.grad(loss_of(ref), argnums=(0, 1, 2, 3, 4))(q, k, v, pos_w, ts_w)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_of(fused), argnums=(0, 1, 2, 3, 4))(
+            q, k, v, pos_w, ts_w
+        )
+    for gr, gf in zip(g_ref, g_fused):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=5e-3, atol=5e-4
+        )
+
+
+def test_packed_loss_and_grads_match_unpacked(rng):
+    """Same examples, same rng, shared negatives: the packed loss is the
+    same function of params as the unpacked loss."""
+    cfg = _cfg()
+    model = build_model(cfg)
+    ds = make_dataset(rng)
+    batch = _unpacked_batch(ds)
+    seq, _, _ = seq_features_from_batch(batch, cfg.model.gr_output_length + 1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        seq, method=model.init_all,
+    )
+    all_ids = np.arange(1, NUM_ITEMS + 1, dtype=np.int32)
+    loss_unpacked = make_loss_fn(model, cfg, all_ids, packed=False)
+    loss_packed = make_loss_fn(model, cfg, all_ids, packed=True)
+    loader = PackedBatchLoader(ds, rows_per_batch=10, row_capacity=64)
+    pbatch = next(iter(loader))
+    assert int(pbatch["num_segments"].sum()) == len(ds)  # all fit in one batch
+
+    key = jax.random.PRNGKey(11)
+    lu, gu = jax.value_and_grad(loss_unpacked)(params, batch, key)
+    lp, gp = jax.value_and_grad(loss_packed)(params, pbatch, key)
+    assert float(lu) == pytest.approx(float(lp), rel=1e-5)
+    flat_u, _ = jax.tree_util.tree_flatten(gu)
+    flat_p, _ = jax.tree_util.tree_flatten(gp)
+    for a, b2 in zip(flat_u, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b2), np.asarray(a), rtol=5e-4, atol=1e-5
+        )
+
+
+def test_trainer_packed_fast_dev_run(tmp_path):
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.pack_sequences = True
+    cfg.model.loss.shared_negatives = True
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+        assert "ndcg@10" in results
+        assert np.isfinite(list(results.values())).all()
+    finally:
+        trainer.close()
+
+
+def test_trainer_packed_multistep(tmp_path):
+    """Packed batches all share one shape, so the k-step scan stacks
+    every batch (no bucket flushes)."""
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.pack_sequences = True
+    cfg.trainer.steps_per_call = 2
+    cfg.trainer.max_epochs = 1
+    cfg.trainer.min_epochs = 1
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+        assert "ndcg@10" in results
+    finally:
+        trainer.close()
