@@ -315,9 +315,8 @@ class TrainerConfig:
     # train steps fused into one device call (lax.scan over stacked
     # batches): amortizes per-step host dispatch overhead, which
     # dominates once the step itself is a few ms. 1 = one call per step.
-    # The per-step RNG stream depends on this value (keys are split per
-    # call, then per step), so runs are reproducible only at a fixed
-    # steps_per_call.
+    # Quality-neutral: per-step RNG keys are fold_in(base, global_step),
+    # so the training stream is bit-identical at every steps_per_call.
     steps_per_call: int = 1
     # async checkpointing: orbax writes the checkpoint to disk in a
     # background thread while the next epoch trains (the device->host

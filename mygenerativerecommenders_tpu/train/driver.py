@@ -499,10 +499,12 @@ class Trainer:
             # debug=profiler Lightning profile, configs/debug/profiler.yaml)
             if t_cfg.profiler and self.epoch == 0 and i == 2:
                 jax.profiler.start_trace(profile_dir)
-            self.rng, step_rng = jax.random.split(self.rng)
+            # per-step keys derive from (base key, global step) inside the
+            # step — the stream is steps_per_call-independent and resume
+            # needs only global_step
             out = self.train_step(
-                self.params, self.opt_state, dev_batch, step_rng,
-                self.lr1, self.lr2,
+                self.params, self.opt_state, dev_batch, self.rng,
+                self.lr1, self.lr2, self.global_step,
             )
             self.params, self.opt_state = out.params, out.opt_state
             if t_cfg.profiler and self.epoch == 0 and i == 4:
@@ -545,11 +547,10 @@ class Trainer:
         examples = 0
         out = None
         for host_batches, dev_batch, n_steps in self._stacked_batches(loader, limit, k):
-            self.rng, call_rng = jax.random.split(self.rng)
             step_fn = multi_step if n_steps == k else self.train_step
             out = step_fn(
-                self.params, self.opt_state, dev_batch, call_rng,
-                self.lr1, self.lr2,
+                self.params, self.opt_state, dev_batch, self.rng,
+                self.lr1, self.lr2, self.global_step,
             )
             self.params, self.opt_state = out.params, out.opt_state
             prev = self.global_step

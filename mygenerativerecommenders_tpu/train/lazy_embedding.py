@@ -309,24 +309,29 @@ def make_lazy_train_step(
     if steps <= 1:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng, lr1, lr2):
+        def train_step(params, opt_state, batch, rng, lr1, lr2, step0=0):
+            step_rng = jax.random.fold_in(rng, step0)
             return LazyTrainStepOutput(
-                *one_step(params, opt_state, batch, rng, lr1, lr2)
+                *one_step(params, opt_state, batch, step_rng, lr1, lr2)
             )
 
         return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_steps(params, opt_state, batches, rng, lr1, lr2):
-        rngs = jax.random.split(rng, steps)
+    def train_steps(params, opt_state, batches, rng, lr1, lr2, step0=0):
+        # per-step keys are a pure function of (base key, global step) so
+        # the stream is identical at every steps_per_call (see
+        # task_retrieval.train_step_from_loss)
+        idxs = step0 + jnp.arange(steps)
 
         def body(carry, xs):
-            batch, step_rng = xs
+            batch, idx = xs
+            step_rng = jax.random.fold_in(rng, idx)
             p, o, loss = one_step(carry[0], carry[1], batch, step_rng, lr1, lr2)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (batches, rngs)
+            body, (params, opt_state), (batches, idxs)
         )
         return LazyTrainStepOutput(params, opt_state, losses)
 

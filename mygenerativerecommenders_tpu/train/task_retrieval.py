@@ -309,14 +309,20 @@ def make_loss_fn(
 def train_step_from_loss(loss_fn: Callable, cfg: Config, steps: int = 1) -> Callable:
     """Wrap loss_fn(params, batch, rng) into a donate-jitted optimizer step.
 
-    steps=1: train_step(params, opt_state, batch, rng, lr1, lr2) with a
-    scalar loss. steps>1: the batch argument carries a leading [steps]
-    axis and the optimizer steps run inside one lax.scan — a single
-    device dispatch per `steps` optimizer updates, which amortizes the
-    per-call host/runtime overhead (the reference has no analog; its
+    steps=1: train_step(params, opt_state, batch, rng, lr1, lr2[, step0])
+    with a scalar loss. steps>1: the batch argument carries a leading
+    [steps] axis and the optimizer steps run inside one lax.scan — a
+    single device dispatch per `steps` optimizer updates, which amortizes
+    the per-call host/runtime overhead (the reference has no analog; its
     per-step Python loop is hidden behind CUDA's ~µs launch latency,
-    while a remote TPU runtime pays ~ms per call). The per-step rng is
-    jax.random.split(rng, steps)[i]; loss comes back as a [steps] array.
+    while a remote TPU runtime pays ~ms per call); loss comes back as a
+    [steps] array.
+
+    The per-step rng is fold_in(rng, step0 + i) with `step0` the GLOBAL
+    step index of the call's first step — so the training RNG stream is
+    a pure function of (base key, global step) and identical for every
+    trainer.steps_per_call value (r2 VERDICT item 8; previously keys
+    were split per call, making the stream depend on k).
     """
     opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
 
@@ -330,22 +336,26 @@ def train_step_from_loss(loss_fn: Callable, cfg: Config, steps: int = 1) -> Call
     if steps <= 1:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng, lr1, lr2):
-            return TrainStepOutput(*one_step(params, opt_state, batch, rng, lr1, lr2))
+        def train_step(params, opt_state, batch, rng, lr1, lr2, step0=0):
+            step_rng = jax.random.fold_in(rng, step0)
+            return TrainStepOutput(
+                *one_step(params, opt_state, batch, step_rng, lr1, lr2)
+            )
 
         return train_step
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_steps(params, opt_state, batches, rng, lr1, lr2):
-        rngs = jax.random.split(rng, steps)
+    def train_steps(params, opt_state, batches, rng, lr1, lr2, step0=0):
+        idxs = step0 + jnp.arange(steps)
 
         def body(carry, xs):
-            batch, step_rng = xs
+            batch, idx = xs
+            step_rng = jax.random.fold_in(rng, idx)
             p, o, loss = one_step(carry[0], carry[1], batch, step_rng, lr1, lr2)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (batches, rngs)
+            body, (params, opt_state), (batches, idxs)
         )
         return TrainStepOutput(params, opt_state, losses)
 

@@ -178,7 +178,10 @@ def test_untouched_rows_frozen(rng):
     step_rng = jax.random.PRNGKey(5)
 
     ids_fn, _ = make_lazy_parts(model, cfg, ids)
-    touched = np.unique(np.asarray(ids_fn(dev_batch, step_rng)))
+    # the step folds the base key with the global step index (0 here)
+    touched = np.unique(
+        np.asarray(ids_fn(dev_batch, jax.random.fold_in(step_rng, 0)))
+    )
     table_before = np.asarray(split_table(params)[0]).copy()
     untouched = np.setdiff1d(np.arange(table_before.shape[0]), touched)
     assert untouched.size > 0  # the tiny batch must not cover the vocab
@@ -206,8 +209,9 @@ def test_multi_step_scan_matches_sequential(rng):
     single = make_lazy_train_step(model, cfg, ids)
     p1 = jax.tree.map(jnp.copy, params)
     s1 = init_lazy_opt_state(cfg, params)
-    for step_rng in jax.random.split(rng0, 3):
-        out = single(p1, s1, dev_batch, step_rng, lr, lr)
+    for i in range(3):
+        # fold_in(base, global step) matches the scan's per-step keys
+        out = single(p1, s1, dev_batch, rng0, lr, lr, i)
         p1, s1 = out.params, out.opt_state
 
     multi = make_lazy_train_step(model, cfg, ids, steps=3)
