@@ -93,9 +93,14 @@ def main():
             f"trainer.max_epochs={epochs}",
             "trainer.output_dir=tmp/quality_batching_long",
         ]
+        # the preset defaults to packing since r3 — the padded/bucketed
+        # arms switch it off explicitly
         arms = {
-            "padded": [],
-            "bucketed": ["data.length_buckets=[128,256,512,1024]"],
+            "padded": ["data.pack_sequences=false"],
+            "bucketed": [
+                "data.pack_sequences=false",
+                "data.length_buckets=[128,256,512,1024]",
+            ],
             "packed": [
                 "data.pack_sequences=true",
                 "data.pack_capacities=[256,512,1024,1152]",

@@ -132,11 +132,21 @@ def ml_20m_hstu_long() -> Config:
     sequences (1k) with jagged Pallas attention"). The fused attention
     kernel keeps memory O(B·N·D) — no [B, N, N] bias/attention tensor —
     so N=1024 fits easily; the dense [B,N,N] reference path would need
-    134 MB per block-tensor at this shape. D=dqk=dv=64, H=2, 8 blocks."""
+    134 MB per block-tensor at this shape. D=dqk=dv=64, H=2, 8 blocks.
+
+    Default-on SEQUENCE PACKING with capacity classes (r3): best-fit
+    packs segments into 256/512/1024/1152-token rows, each class
+    emitting ~batch_size-example batches — measured 1761 ex/s vs 377
+    padded (4.7x) / 1564 bucketed at realistic lognormal lengths, with
+    the convergence band equal to padded (PARITY.md batching_long:
+    packed ndcg@100 0.0314 vs padded 0.0304, within seed noise).
+    Set data.pack_sequences=false for the exact-RNG-parity padded path."""
     cfg = ml_20m_hstu()
     cfg.data.max_sequence_length = 1024
     cfg.data.batch_size = 32
     cfg.model.item_embedding_dim = 64
+    cfg.data.pack_sequences = True
+    cfg.data.pack_capacities = (256, 512, 1024, 1152)
     return cfg
 
 
