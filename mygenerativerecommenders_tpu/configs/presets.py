@@ -217,6 +217,12 @@ def amzn_books() -> Config:
     cfg.data.dataset_name = "amzn-books"
     cfg.data.batch_size = 128
     cfg.data.max_sequence_length = 512
+    # train: SEQUENCE PACKING (r3) — the Amazon length tail (mean ~15-20
+    # after the >=5 filter) packs ~7-30 segments per row, the biggest
+    # padding win in the suite; composes with lazy_update (the touched
+    # row set comes from the packed layout). Eval stays length-bucketed.
+    cfg.data.pack_sequences = True
+    cfg.data.pack_capacities = (128, 256, 576)  # max segment 512+1 <= 576
     cfg.data.length_buckets = (64, 128, 256, 512)
     # vocab discovered from the processed item CSV at load time
     cfg.data.expected_num_unique_items = 0

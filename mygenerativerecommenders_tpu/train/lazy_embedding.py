@@ -196,7 +196,8 @@ def init_lazy_opt_state(cfg: Config, params: Any) -> LazyOptState:
 
 
 def make_lazy_parts(
-    model: GenerativeRecommender, cfg: Config, all_item_ids: np.ndarray
+    model: GenerativeRecommender, cfg: Config, all_item_ids: np.ndarray,
+    packed: bool = False,
 ) -> Tuple[Callable, Callable]:
     """(ids_fn, loss_rows_fn) for the lazy step.
 
@@ -208,8 +209,13 @@ def make_lazy_parts(
     loss_rows_fn(rest_params, rows, batch, rng) -> scalar loss equal to
     loss_fn_shared(params, batch, rng), with every table lookup replaced
     by a slice of `rows` (rows = table[ids_fn(batch, rng)]).
+
+    packed=True consumes PackedBatchLoader batches (data/packing.py):
+    targets are already inline and supervision masks segment boundaries,
+    exactly as task_retrieval's packed path.
     """
     from mygenerativerecommenders_tpu.train.task_retrieval import make_sampler
+    from mygenerativerecommenders_tpu.utils.features import packed_seq_features
 
     lazy_applicable(cfg)
     sampler = make_sampler(cfg)
@@ -222,8 +228,14 @@ def make_lazy_parts(
 
     def _ids_and_ctx(batch, rng):
         drop_rng, neg_rng = jax.random.split(rng)
-        seq, target_ids, _ = seq_features_from_batch(batch, max_out)
-        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+        if packed:
+            seq = packed_seq_features(batch)
+            past_ids = seq.past_ids
+        else:
+            seq, target_ids, _ = seq_features_from_batch(batch, max_out)
+            past_ids = scatter_at_lengths(
+                seq.past_ids, seq.past_lengths, target_ids
+            )
         offsets = jax.random.randint(neg_rng, (num_neg,), 0, catalog.shape[0])
         neg_ids = jnp.take(jnp.asarray(catalog), offsets, axis=0)  # [R]
         ids_all = jnp.concatenate([past_ids.reshape(-1), neg_ids])
@@ -244,7 +256,13 @@ def make_lazy_parts(
         sup_ids = past_ids[:, 1:]
         sup_emb = input_embeddings[:, 1:, :]
         weights = (sup_ids != 0).astype(jnp.float32)
-        if "sample_weight" in batch:
+        if packed:
+            seg = batch["seg_ids"]
+            same_seg = jnp.logical_and(
+                seg[:, 1:] == seg[:, :-1], seg[:, :-1] >= 0
+            )
+            weights = weights * same_seg.astype(jnp.float32)
+        elif "sample_weight" in batch:
             weights = weights * batch["sample_weight"][:, None]
 
         neg_emb = sampler.normalize_embeddings(rows[b * n :])  # [R, D]
@@ -275,11 +293,12 @@ def make_lazy_train_step(
     cfg: Config,
     all_item_ids: np.ndarray,
     steps: int = 1,
+    packed: bool = False,
 ) -> Callable:
     """train_step(params, opt_state, batch, rng, lr1, lr2) with the item
     table updated lazily. Same signature/behavior as
     task_retrieval.make_train_step (steps>1 = lax.scan fused calls)."""
-    ids_fn, loss_rows_fn = make_lazy_parts(model, cfg, all_item_ids)
+    ids_fn, loss_rows_fn = make_lazy_parts(model, cfg, all_item_ids, packed=packed)
     opt1 = cfg.optimizer1
     opt2 = cfg.optimizer2 if cfg.optimizer2.enabled else None
 

@@ -371,17 +371,11 @@ def make_train_step(
 ) -> Callable:
     """train_step(params, opt_state, batch, rng, lr1, lr2) -> TrainStepOutput."""
     if cfg.model.embedding.lazy_update:
-        if packed:
-            raise ValueError(
-                "data.pack_sequences does not compose with "
-                "embedding.lazy_update yet (the lazy step derives touched "
-                "rows from the unpacked layout)"
-            )
         from mygenerativerecommenders_tpu.train.lazy_embedding import (
             make_lazy_train_step,
         )
 
-        return make_lazy_train_step(model, cfg, all_item_ids, steps)
+        return make_lazy_train_step(model, cfg, all_item_ids, steps, packed=packed)
     loss_fn = make_loss_fn(model, cfg, all_item_ids, packed=packed)
     return train_step_from_loss(loss_fn, cfg, steps)
 

@@ -310,3 +310,49 @@ def test_trainer_packed_multistep(tmp_path):
         assert "ndcg@10" in results
     finally:
         trainer.close()
+
+
+def test_packed_lazy_update_matches_dense(rng):
+    """Packed + embedding.lazy_update: the lazy step's loss equals the
+    packed dense-table shared-negatives loss (same rng), and untouched
+    table rows stay frozen — the amzn-books configuration."""
+    import jax.numpy as jnp
+
+    from mygenerativerecommenders_tpu.train.lazy_embedding import (
+        init_lazy_opt_state,
+        make_lazy_train_step,
+        split_table,
+    )
+
+    cfg = _cfg()
+    cfg.model.embedding.lazy_update = True
+    cfg.model.loss.num_to_sample = 16
+    model = build_model(cfg)
+    ds = make_dataset(rng)
+    loader = PackedBatchLoader(ds, rows_per_batch=10, row_capacity=64)
+    pbatch = {k: jnp.asarray(v) for k, v in next(iter(loader)).items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        packed_seq_features(next(iter(loader))), method=model.init_all,
+    )
+    all_ids = np.arange(1, NUM_ITEMS + 1, dtype=np.int32)
+    key = jax.random.PRNGKey(4)
+
+    dense_loss = make_loss_fn(model, cfg, all_ids, packed=True)
+    want = float(dense_loss(params, pbatch, jax.random.fold_in(key, 0)))
+
+    lazy_step = make_lazy_train_step(model, cfg, all_ids, packed=True)
+    table_before = np.asarray(split_table(params)[0]).copy()
+    out = lazy_step(
+        params, init_lazy_opt_state(cfg, params), pbatch, key,
+        jnp.float32(1e-3), jnp.float32(0.0),
+    )
+    assert float(out.loss) == pytest.approx(want, rel=1e-6)
+    table_after = np.asarray(split_table(out.params)[0])
+    touched_ids = np.unique(np.asarray(pbatch["ids"]))
+    untouched = np.setdiff1d(np.arange(table_before.shape[0]), touched_ids)
+    # negatives also touch rows; check a conservative subset instead:
+    # rows whose values moved must be a superset of the batch ids
+    moved = np.where(np.any(table_after != table_before, axis=1))[0]
+    assert set(touched_ids[touched_ids > 0]).issubset(set(moved))
+    assert len(moved) <= len(touched_ids) + cfg.model.loss.num_to_sample
