@@ -356,3 +356,45 @@ def test_packed_lazy_update_matches_dense(rng):
     moved = np.where(np.any(table_after != table_before, axis=1))[0]
     assert set(touched_ids[touched_ids > 0]).issubset(set(moved))
     assert len(moved) <= len(touched_ids) + cfg.model.loss.num_to_sample
+
+
+def test_trainer_packed_with_sharded_a2a(tmp_path):
+    """The production combination: packed batches + the owner-routed
+    sharded table, trained end-to-end on the (data, model) CPU mesh."""
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.pack_sequences = True
+    cfg.model.embedding.kind = "sharded_a2a"
+    cfg.model.embedding.num_shards = 2
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        assert trainer.mesh.shape["model"] == 2
+        results = trainer.fit()
+        assert "ndcg@10" in results
+        assert np.isfinite(list(results.values())).all()
+    finally:
+        trainer.close()
+
+
+def test_trainer_packed_with_muon(tmp_path):
+    """Packed batches through the 2-optimizer (AdamW + Muon) split."""
+    from mygenerativerecommenders_tpu.configs import OptimizerConfig, SchedulerConfig
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.pack_sequences = True
+    cfg.optimizer2 = OptimizerConfig(kind="muon", lr=5e-3, momentum=0.95)
+    cfg.scheduler2 = SchedulerConfig(kind="plateau")
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+        assert "ndcg@10" in results
+    finally:
+        trainer.close()
