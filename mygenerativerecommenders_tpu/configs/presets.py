@@ -53,6 +53,19 @@ def ml_1m_hstu() -> Config:
     return cfg
 
 
+@register("ml-1m-hstu-packed")
+def ml_1m_hstu_packed() -> Config:
+    """The ml-1m parity recipe with SEQUENCE PACKING (r3): best-fit
+    packs ~2.3 mean-111 segments per 256-token row, so a 128-example
+    step runs on ~56 rows instead of 128 padded ones — measured 24.3k
+    ex/s/chip vs 12.9k padded on v5e, convergence band equal
+    (PARITY.md packed row). The plain ml-1m-hstu preset keeps the
+    exact-RNG-parity padded path."""
+    cfg = ml_1m_hstu()
+    cfg.data.pack_sequences = True
+    return cfg
+
+
 @register("ml-1m-hstu-muon")
 def ml_1m_hstu_muon() -> Config:
     """configs/experiment/ml-1m-hstu-muon.yaml: AdamW lr 5e-4 on

@@ -20,6 +20,7 @@ import sys
 
 def main():
     coordinator, pid, nprocs, data_dir, out_json = sys.argv[1:6]
+    packed = len(sys.argv) > 6 and sys.argv[6] == "packed"
     pid, nprocs = int(pid), int(nprocs)
 
     import jax
@@ -46,11 +47,12 @@ def main():
     cfg.trainer.max_epochs = 2
     cfg.trainer.min_epochs = 1
     cfg.trainer.distributed = True
+    cfg.data.pack_sequences = packed
 
     trainer = Trainer(cfg)
     try:
         final_loss = None
-        train_loader = trainer._loader("train")
+        train_loader = trainer._loader("train", packed=trainer._packed)
         for trainer.epoch in range(cfg.trainer.max_epochs):
             final_loss = trainer.train_epoch(train_loader)
         val = trainer.eval_epoch(trainer._loader("val"), "val")

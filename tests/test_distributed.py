@@ -24,7 +24,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("packed", [False, True], ids=["padded", "packed"])
+def test_two_process_training_matches_single_process(tmp_path, packed):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data_dir = str(tmp_path / "data")
 
@@ -55,7 +56,7 @@ def test_two_process_training_matches_single_process(tmp_path):
                     "2",
                     data_dir,
                     out_json,
-                ],
+                ] + (["packed"] if packed else []),
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -90,9 +91,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     cfg1.trainer.output_dir = str(tmp_path / "out_single")
     cfg1.trainer.max_epochs = 2
     cfg1.trainer.min_epochs = 1
+    cfg1.data.pack_sequences = packed
     trainer = Trainer(cfg1)
     try:
-        loader = trainer._loader("train")
+        loader = trainer._loader("train", packed=trainer._packed)
         for trainer.epoch in range(cfg1.trainer.max_epochs):
             last = trainer.train_epoch(loader)
         val1 = trainer.eval_epoch(trainer._loader("val"), "val")

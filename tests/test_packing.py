@@ -398,3 +398,34 @@ def test_trainer_packed_with_muon(tmp_path):
         assert "ndcg@10" in results
     finally:
         trainer.close()
+
+
+def test_packed_loader_multihost_partition(rng):
+    """Two processes (pi=0/1, pc=2) see disjoint rows of the SAME global
+    packing: equal batch counts and shapes, and the union of emitted
+    segments is exactly the dataset (the bucketed-loader global-partition
+    property, required so collectives never desync across hosts)."""
+    ds = make_dataset(rng, users=48)
+    loaders = [
+        PackedBatchLoader(
+            ds, rows_per_batch=3, row_capacity=64, shuffle=True, seed=5,
+            process_index=pi, process_count=2,
+        )
+        for pi in (0, 1)
+    ]
+    batches = [list(ld) for ld in loaders]
+    assert len(batches[0]) == len(batches[1])
+    seen = []
+    for per_proc in batches:
+        for batch in per_proc:
+            assert batch["ids"].shape == (3, 64)
+            for r in range(3):
+                seg = batch["seg_ids"][r]
+                for s in range(int(batch["num_segments"][r])):
+                    tok = np.where(seg == s)[0]
+                    seen.append(tuple(batch["ids"][r][tok]))
+    expected = [
+        tuple(ds.ids[e, : ds.lengths[e]]) + (ds.target_id[e],)
+        for e in range(len(ds))
+    ]
+    assert sorted(seen) == sorted(expected)
