@@ -176,6 +176,13 @@ class IndexConfig:
     # training runs whose checkpoint selection must be exact.
     quantize: str = "none"  # none | int8
     rescore_over_fetch: int = 4
+    # SHARDED candidate index: keep the [X, D] candidate matrix row-
+    # sharded over the "model" axis and evaluate top-k as local-topk +
+    # O(shards*k) merge (parallel/topk_sharded.py) — no device ever holds
+    # the full matrix (required at 100M-item catalogs). "auto" -> on when
+    # the embedding table is sharded and quantize is off; int8 x sharded
+    # is future work (the pre-rank would quantize per shard).
+    sharded: str = "auto"  # auto | true | false
 
 
 @dataclass

@@ -324,6 +324,12 @@ def synthetic_large_vocab_100m() -> Config:
     cfg.model.embedding.kind = "sharded_2d"
     cfg.model.embedding.num_shards = 8
     cfg.model.embedding.col_shards = 2
+    # exact SHARDED top-k (index.sharded auto-engages): the candidate
+    # matrix stays row-sharded and eval merges per-shard winners — no
+    # device ever holds the 25.6 GB [100M, 64] matrix. The 10M preset
+    # keeps int8 pre-ranking instead (replicated; int8 x sharded is
+    # future work).
+    cfg.model.index.quantize = "none"
     return cfg
 
 

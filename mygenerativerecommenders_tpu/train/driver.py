@@ -212,10 +212,11 @@ class Trainer:
                 self.model, cfg, self.all_item_ids, packed=self._packed
             )
             self.eval_step = task_retrieval.make_eval_step(
-                self.model, cfg, self.all_item_ids, self.data.max_item_id
+                self.model, cfg, self.all_item_ids, self.data.max_item_id,
+                mesh=self.mesh,
             )
             self.candidate_fn = task_retrieval.make_candidate_fn(
-                self.model, cfg, self.all_item_ids
+                self.model, cfg, self.all_item_ids, mesh=self.mesh,
             )
         elif self.task == "ranking":
             from mygenerativerecommenders_tpu.train import task_ranking

@@ -380,11 +380,39 @@ def make_train_step(
     return train_step_from_loss(loss_fn, cfg, steps)
 
 
+def index_sharded_on(cfg: Config) -> bool:
+    """Resolve index.sharded: sharded-candidate eval engages for sharded
+    embedding kinds with exact (non-int8) scoring."""
+    s = str(cfg.model.index.sharded).lower()
+    if s in ("false", "0", "no", "off"):
+        return False
+    applicable = (
+        cfg.model.embedding.kind
+        in ("sharded_local", "sharded_a2a", "sharded_column", "sharded_2d")
+        and cfg.model.embedding.num_shards > 1
+        and cfg.model.index.quantize in ("", "none")
+    )
+    if s == "auto":
+        return applicable
+    if s in ("true", "1", "yes", "on"):
+        if not applicable:
+            raise ValueError(
+                "index.sharded=true requires a sharded embedding kind with "
+                "num_shards > 1 and index.quantize=none (int8 x sharded is "
+                "future work)"
+            )
+        return True
+    raise ValueError(f"Unknown index.sharded {cfg.model.index.sharded!r}")
+
+
 def make_candidate_fn(
-    model: GenerativeRecommender, cfg: Config, all_item_ids: np.ndarray
+    model: GenerativeRecommender, cfg: Config, all_item_ids: np.ndarray,
+    mesh=None,
 ) -> Callable:
     """Refresh the candidate matrix: normalized catalog embeddings
-    (retrieval.py:165-169)."""
+    (retrieval.py:165-169). With index.sharded resolved on (and the
+    trainer's mesh passed), the matrix stays ROW-SHARDED over "model" —
+    no device holds the full [X, D]."""
     sampler = make_sampler(cfg)
     # NOTE: keep closure constants as NUMPY arrays — device-array
     # constants are fetched D2H during MLIR lowering, which costs
@@ -392,6 +420,26 @@ def make_candidate_fn(
     catalog = np.asarray(all_item_ids, dtype=np.int32)
 
     quantize = cfg.model.index.quantize
+
+    if mesh is not None and index_sharded_on(cfg):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shards = mesh.shape["model"]
+        x_pad = ((len(catalog) + shards - 1) // shards) * shards
+        catalog_padded = np.zeros(x_pad, dtype=np.int32)
+        catalog_padded[: len(catalog)] = catalog  # pad rows carry id 0
+        spec = NamedSharding(mesh, P("model", None))
+
+        @jax.jit
+        def candidates_sharded(params):
+            emb = model.apply(
+                params, catalog_padded, method=model.item_embeddings
+            )
+            emb = sampler.normalize_embeddings(emb)
+            emb = jnp.where(catalog_padded[:, None] > 0, emb, 0.0)
+            return jax.lax.with_sharding_constraint(emb, spec)
+
+        return candidates_sharded
 
     @jax.jit
     def candidates(params) -> jax.Array:
@@ -418,6 +466,7 @@ def make_eval_step(
     cfg: Config,
     all_item_ids: np.ndarray,
     max_item_id: int,
+    mesh=None,
 ) -> Callable:
     """eval_step(params, batch, candidates) -> (top_k_ids, top_k_scores)."""
     # NOTE: keep closure constants as NUMPY arrays — device-array
@@ -429,6 +478,34 @@ def make_eval_step(
     quantize = cfg.model.index.quantize
     over_fetch = cfg.model.index.rescore_over_fetch
     max_out = cfg.model.gr_output_length + 1
+
+    if mesh is not None and index_sharded_on(cfg):
+        from mygenerativerecommenders_tpu.parallel.topk_sharded import (
+            sharded_mips_top_k,
+        )
+
+        shards = mesh.shape["model"]
+        x_pad = ((len(catalog) + shards - 1) // shards) * shards
+        catalog_padded = np.zeros(x_pad, dtype=np.int32)
+        catalog_padded[: len(catalog)] = catalog
+        k_eff = min(k, len(all_item_ids))
+
+        @jax.jit
+        def eval_step_sharded(params, batch, candidates):
+            seq, _, _ = seq_features_from_batch(batch, max_out)
+            input_embeddings = model.apply(
+                params, seq.past_ids, method=model.item_embeddings
+            )
+            seq = seq._replace(past_embeddings=input_embeddings)
+            encoded, lengths = model.apply(params, seq, deterministic=True)
+            current = get_current_embeddings(lengths, encoded)  # [B, D]
+            invalid = seq.past_ids if filter_past else None
+            return sharded_mips_top_k(
+                mesh, current, candidates, jnp.asarray(catalog_padded),
+                k=k_eff, invalid_ids=invalid,
+            )
+
+        return eval_step_sharded
 
     @jax.jit
     def eval_step(

@@ -47,3 +47,41 @@ def test_sharded_topk_ignores_padding_rows(rng):
     idv = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("model")))
     top_ids, _ = sharded_mips_top_k(mesh, q, it, idv, k)
     assert not (np.asarray(top_ids) == 0).any()
+
+
+def test_sharded_eval_matches_replicated(tmp_path):
+    """index.sharded (auto-on for sharded tables): the trainer's eval
+    with the row-sharded candidate matrix + per-shard top-k merge must
+    reproduce the replicated eval's metrics exactly — including the
+    past-id filtering (reference candidate_index.py:107-164)."""
+    import numpy as np
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    results = {}
+    for mode in ("false", "auto"):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out_{mode}")
+        cfg.model.embedding.kind = "sharded_a2a"
+        cfg.model.embedding.num_shards = 2
+        cfg.model.index.sharded = mode
+        trainer = Trainer(cfg)
+        try:
+            assert (
+                __import__(
+                    "mygenerativerecommenders_tpu.train.task_retrieval",
+                    fromlist=["index_sharded_on"],
+                ).index_sharded_on(cfg)
+                == (mode == "auto")
+            )
+            results[mode] = trainer.eval_epoch(trainer.data.loader("val"), "val")
+        finally:
+            trainer.close()
+    assert set(results["false"]) == set(results["auto"])
+    for key in results["false"]:
+        np.testing.assert_allclose(
+            results["auto"][key], results["false"][key], rtol=1e-6,
+            err_msg=f"metric {key} differs under sharded eval",
+        )
