@@ -59,6 +59,7 @@ def build_engine(argv: list[str] | None = None):
         trainer.all_item_ids,
         trainer.data.max_item_id,
         batch_size=opts["batch_size"],
+        mesh=trainer.mesh,
     )
     return engine, opts
 

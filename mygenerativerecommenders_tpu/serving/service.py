@@ -62,6 +62,7 @@ class ServingEngine:
         all_item_ids: np.ndarray,
         max_item_id: int,
         batch_size: int = 32,
+        mesh=None,
     ):
         self.model = model
         self.params = params
@@ -70,8 +71,14 @@ class ServingEngine:
         self.max_len = int(cfg.data.max_sequence_length)
         self.all_item_ids = np.asarray(all_item_ids, dtype=np.int32)
         self.max_item_id = int(max_item_id)
-        self._eval_step = make_eval_step(model, cfg, all_item_ids, max_item_id)
-        self._candidate_fn = make_candidate_fn(model, cfg, all_item_ids)
+        # mesh: sharded-table configs keep the candidate matrix row-
+        # sharded and serve top-k via the per-shard merge (index.sharded)
+        self._eval_step = make_eval_step(
+            model, cfg, all_item_ids, max_item_id, mesh=mesh
+        )
+        self._candidate_fn = make_candidate_fn(
+            model, cfg, all_item_ids, mesh=mesh
+        )
         self._generate_cache: Dict[tuple, Callable] = {}
         self.refresh_candidates()
 

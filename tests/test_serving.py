@@ -205,3 +205,50 @@ def test_engine_quantized_retrieval_and_generate():
     gen_a = exact.generate(seqs, steps=2, mode="greedy")
     gen_b = quant.generate(seqs, steps=2, mode="greedy")
     assert gen_a == gen_b
+
+
+def test_engine_sharded_index_matches_replicated():
+    """A sharded-table engine (index.sharded via the trainer mesh) serves
+    the same top-k as the replicated engine for identical weights."""
+    from mygenerativerecommenders_tpu.parallel.mesh import make_mesh
+
+    cfg = Config()
+    cfg.data.max_sequence_length = 16
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.use_pallas = "false"
+    cfg.model.embedding.kind = "sharded_a2a"
+    cfg.model.embedding.num_shards = 2
+    resolve(cfg, MAX_ID)
+    mesh = make_mesh(data=4, model=2)
+    model = build_model(cfg)
+    batch = {
+        "lengths": np.array([3], dtype=np.int32),
+        "ids": np.zeros((1, 16), dtype=np.int32),
+        "ratings": np.zeros((1, 16), dtype=np.int32),
+        "timestamps": np.zeros((1, 16), dtype=np.int32),
+        "target_id": np.zeros(1, dtype=np.int32),
+        "target_rating": np.zeros(1, dtype=np.int32),
+        "target_timestamp": np.zeros(1, dtype=np.int32),
+    }
+    seq, _, _ = seq_features_from_batch(batch, cfg.model.gr_output_length + 1)
+    with jax.sharding.set_mesh(mesh):
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            seq, method=model.init_all,
+        )
+        all_ids = np.arange(1, MAX_ID + 1, dtype=np.int32)
+        sharded = ServingEngine(
+            model, params, cfg, all_ids, MAX_ID, batch_size=4, mesh=mesh
+        )
+        import copy
+
+        cfg_rep = copy.deepcopy(cfg)
+        cfg_rep.model.index.sharded = "false"
+        replicated = ServingEngine(
+            model, params, cfg_rep, all_ids, MAX_ID, batch_size=4
+        )
+        seqs = [[3, 9, 27], [5]]
+        ids_s, scores_s = sharded.retrieve(seqs, k=5)
+        ids_r, scores_r = replicated.retrieve(seqs, k=5)
+    assert ids_s == ids_r
+    np.testing.assert_allclose(scores_s, scores_r, rtol=1e-5)
