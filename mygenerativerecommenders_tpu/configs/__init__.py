@@ -180,8 +180,9 @@ class IndexConfig:
     # sharded over the "model" axis and evaluate top-k as local-topk +
     # O(shards*k) merge (parallel/topk_sharded.py) — no device ever holds
     # the full matrix (required at 100M-item catalogs). "auto" -> on when
-    # the embedding table is sharded and quantize is off; int8 x sharded
-    # is future work (the pre-rank would quantize per shard).
+    # the embedding table is sharded. Composes with quantize=int8: each
+    # shard pre-ranks its own int8 slice and re-scores locally against
+    # its own exact rows, so the merge runs on exact scores.
     sharded: str = "auto"  # auto | true | false
 
 

@@ -324,12 +324,11 @@ def synthetic_large_vocab_100m() -> Config:
     cfg.model.embedding.kind = "sharded_2d"
     cfg.model.embedding.num_shards = 8
     cfg.model.embedding.col_shards = 2
-    # exact SHARDED top-k (index.sharded auto-engages): the candidate
-    # matrix stays row-sharded and eval merges per-shard winners — no
-    # device ever holds the 25.6 GB [100M, 64] matrix. The 10M preset
-    # keeps int8 pre-ranking instead (replicated; int8 x sharded is
-    # future work).
-    cfg.model.index.quantize = "none"
+    # SHARDED top-k (index.sharded auto-engages): the candidate matrix
+    # stays row-sharded and eval merges per-shard winners — no device
+    # ever holds the 25.6 GB [100M, 64] matrix. The inherited int8
+    # pre-ranking composes: each shard pre-ranks its own int8 slice and
+    # re-scores locally against its own exact rows.
     return cfg
 
 

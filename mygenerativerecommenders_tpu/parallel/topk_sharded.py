@@ -101,3 +101,84 @@ def sharded_mips_top_k(
             query_embeddings, item_embeddings, item_ids,
             invalid_ids.astype(jnp.int32),
         )
+
+
+def sharded_mips_top_k_int8(
+    mesh: Mesh,
+    query_embeddings: jax.Array,  # [B, D] f32
+    catalog_q: jax.Array,  # [X, D] int8, sharded over "model" rows
+    catalog_scales: jax.Array,  # [X] f32 per-row scales, sharded alike
+    catalog_exact: jax.Array,  # [X, D] f32 exact rows, sharded alike
+    item_ids: jax.Array,  # [X], sharded alike
+    k: int,
+    invalid_ids: Optional[jax.Array] = None,
+    over_fetch: int = 4,
+    axis: str = "model",
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 pre-ranked sharded top-k (index.quantize=int8 x index.sharded).
+
+    Each shard pre-ranks ITS OWN int8 slice, re-scores its local winners
+    against its own exact f32 rows (no cross-shard row gathers), then
+    the exact per-shard winners merge like `sharded_mips_top_k`.
+    Pre-rank recall matches or beats the replicated int8 path: every
+    shard over-fetches over_fetch*k locally, so the true top-k survives
+    whenever it would have globally."""
+    from mygenerativerecommenders_tpu.ops.quantized_topk import quantize_rows
+
+    n_inv = int(invalid_ids.shape[1]) if invalid_ids is not None else 0
+    k_fetch = k + n_inv
+    kp = max(k_fetch, over_fetch * k)
+    has_data = "data" in mesh.axis_names
+    q_spec = P("data", None) if has_data else P()
+    out_spec = P("data", None) if has_data else P()
+    if invalid_ids is None:
+        invalid_ids = jnp.zeros((query_embeddings.shape[0], 1), dtype=jnp.int32)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            q_spec, P(axis, None), P(axis), P(axis, None), P(axis),
+            q_spec if has_data else P(),
+        ),
+        out_specs=(out_spec, out_spec),
+        check_vma=False,
+    )
+    def _local(q, cq, cs, cx, ids, invalid):
+        qq, qs = quantize_rows(q)
+        si32 = jax.lax.dot_general(
+            qq, cq,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [B, X/R]
+        approx = si32.astype(jnp.float32) * qs[:, None] * cs[None, :]
+        approx = jnp.where(ids[None, :] == 0, NEG_INF, approx)
+        local_kp = min(kp, cq.shape[0])
+        _, idx = jax.lax.top_k(approx, local_kp)  # [B, kp]
+        cand_ids = jnp.take(ids, idx, axis=0)
+        cand_rows = jnp.take(cx, idx, axis=0)  # [B, kp, D]
+        exact = jnp.einsum(
+            "bd,bkd->bk", q, cand_rows, preferred_element_type=jnp.float32
+        )
+        exact = jnp.where(cand_ids == 0, NEG_INF, exact)
+        all_s = jax.lax.all_gather(exact, axis, axis=1, tiled=True)
+        all_ids = jax.lax.all_gather(cand_ids, axis, axis=1, tiled=True)
+        merged_s, merged_idx = jax.lax.top_k(
+            all_s, min(k_fetch, all_s.shape[1])
+        )
+        merged_ids = jnp.take_along_axis(all_ids, merged_idx, axis=1)
+        is_invalid = jnp.any(
+            merged_ids[:, :, None] == invalid[:, None, :], axis=-1
+        )
+        merged_s = jnp.where(is_invalid, NEG_INF, merged_s)
+        final_s, final_idx = jax.lax.top_k(merged_s, k)
+        return jnp.take_along_axis(merged_ids, final_idx, axis=1), final_s
+
+    args = (
+        query_embeddings, catalog_q, catalog_scales, catalog_exact,
+        item_ids, invalid_ids.astype(jnp.int32),
+    )
+    if isinstance(query_embeddings, jax.core.Tracer):
+        return _local(*args)
+    with jax.sharding.set_mesh(mesh):
+        return _local(*args)

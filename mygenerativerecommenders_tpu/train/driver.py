@@ -76,8 +76,13 @@ def make_mesh(
 
 def enable_compilation_cache(cache_dir: str) -> None:
     """Persistent XLA executable cache (jax_compilation_cache_dir):
-    amortizes the 20-90s first-compile of the train step across runs."""
-    if not cache_dir:
+    amortizes the 20-90s first-compile of the train step across runs.
+
+    MYGR_TPU_NO_XLA_CACHE=1 disables it — concurrent processes racing
+    writes into one cache dir have been observed to corrupt an entry
+    (SIGABRT on load until the entry is purged), so the test suite opts
+    out (tests/conftest.py) and parallel workloads should too."""
+    if not cache_dir or os.environ.get("MYGR_TPU_NO_XLA_CACHE"):
         return
     path = os.path.expanduser(cache_dir)
     try:

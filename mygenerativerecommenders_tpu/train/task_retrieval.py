@@ -390,7 +390,6 @@ def index_sharded_on(cfg: Config) -> bool:
         cfg.model.embedding.kind
         in ("sharded_local", "sharded_a2a", "sharded_column", "sharded_2d")
         and cfg.model.embedding.num_shards > 1
-        and cfg.model.index.quantize in ("", "none")
     )
     if s == "auto":
         return applicable
@@ -398,8 +397,7 @@ def index_sharded_on(cfg: Config) -> bool:
         if not applicable:
             raise ValueError(
                 "index.sharded=true requires a sharded embedding kind with "
-                "num_shards > 1 and index.quantize=none (int8 x sharded is "
-                "future work)"
+                "num_shards > 1"
             )
         return True
     raise ValueError(f"Unknown index.sharded {cfg.model.index.sharded!r}")
@@ -439,6 +437,31 @@ def make_candidate_fn(
             emb = jnp.where(catalog_padded[:, None] > 0, emb, 0.0)
             return jax.lax.with_sharding_constraint(emb, spec)
 
+        if quantize == "int8":
+            from jax.sharding import NamedSharding as _NS
+
+            from mygenerativerecommenders_tpu.ops.quantized_topk import (
+                QuantizedCatalog,
+                quantize_rows,
+            )
+
+            scale_spec = _NS(mesh, P("model"))
+
+            @jax.jit
+            def candidates_sharded_q(params):
+                exact = candidates_sharded(params)
+                q, scales = quantize_rows(exact)
+                return QuantizedCatalog(
+                    q=jax.lax.with_sharding_constraint(q, spec),
+                    scales=jax.lax.with_sharding_constraint(
+                        scales, scale_spec
+                    ),
+                    exact=exact,
+                )
+
+            return candidates_sharded_q
+        if quantize not in ("", "none"):
+            raise ValueError(f"Unknown index.quantize {quantize!r}")
         return candidates_sharded
 
     @jax.jit
@@ -482,6 +505,7 @@ def make_eval_step(
     if mesh is not None and index_sharded_on(cfg):
         from mygenerativerecommenders_tpu.parallel.topk_sharded import (
             sharded_mips_top_k,
+            sharded_mips_top_k_int8,
         )
 
         shards = mesh.shape["model"]
@@ -500,6 +524,14 @@ def make_eval_step(
             encoded, lengths = model.apply(params, seq, deterministic=True)
             current = get_current_embeddings(lengths, encoded)  # [B, D]
             invalid = seq.past_ids if filter_past else None
+            if quantize == "int8":
+                # per-shard int8 pre-rank + LOCAL exact re-score (each
+                # shard holds its own exact rows), merge on exact scores
+                return sharded_mips_top_k_int8(
+                    mesh, current, candidates.q, candidates.scales,
+                    candidates.exact, jnp.asarray(catalog_padded),
+                    k=k_eff, invalid_ids=invalid, over_fetch=over_fetch,
+                )
             return sharded_mips_top_k(
                 mesh, current, candidates, jnp.asarray(catalog_padded),
                 k=k_eff, invalid_ids=invalid,

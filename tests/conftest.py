@@ -13,6 +13,10 @@ updates still apply because no backend has initialized yet.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# never share the persistent XLA cache with concurrently running
+# benches/studies: racing writers have corrupted entries (SIGABRT on
+# load). Tests are compile-cheap on CPU anyway.
+os.environ.setdefault("MYGR_TPU_NO_XLA_CACHE", "1")
 
 import jax
 

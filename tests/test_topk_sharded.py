@@ -85,3 +85,32 @@ def test_sharded_eval_matches_replicated(tmp_path):
             results["auto"][key], results["false"][key], rtol=1e-6,
             err_msg=f"metric {key} differs under sharded eval",
         )
+
+
+def test_sharded_int8_eval_matches_replicated_int8(tmp_path):
+    """index.sharded x index.quantize=int8: per-shard int8 pre-rank +
+    local exact re-score must reproduce the replicated int8 eval."""
+    import numpy as np
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    results = {}
+    for mode in ("false", "auto"):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out8_{mode}")
+        cfg.model.embedding.kind = "sharded_a2a"
+        cfg.model.embedding.num_shards = 2
+        cfg.model.index.quantize = "int8"
+        cfg.model.index.sharded = mode
+        trainer = Trainer(cfg)
+        try:
+            results[mode] = trainer.eval_epoch(trainer.data.loader("val"), "val")
+        finally:
+            trainer.close()
+    for key in results["false"]:
+        np.testing.assert_allclose(
+            results["auto"][key], results["false"][key], rtol=1e-6,
+            err_msg=f"metric {key} differs under sharded int8 eval",
+        )
