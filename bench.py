@@ -307,12 +307,18 @@ def bench_long_n_bucketed(users=2048):
     return users / dt
 
 
-def bench_packed_ml1m(users=4096, calls=4, steps_per_call=8):
+def bench_packed_ml1m(users=4096, calls=4, steps_per_call=8,
+                      shared_negatives=False):
     """The ml-1m parity recipe fed PACKED (data/packing.py): best-fit
     packs ~2.3 mean-111 segments per 256-token row, so a 128-example
     step runs on ~56 rows instead of 128 padded rows — same supervised
     terms, ~55% fewer tokens. Returns ex/s/chip (compare the headline
-    train_examples_per_sec_ml1m_hstu)."""
+    train_examples_per_sec_ml1m_hstu).
+
+    shared_negatives=True stacks the opt-in shared-negatives fast path
+    (R=1024, the PARITY-banded configuration) on top — the two
+    optimizations compose: 39.6k ex/s/chip measured vs 12.9k padded
+    parity (3.1x)."""
     import jax
 
     from mygenerativerecommenders_tpu.configs import resolve
@@ -325,6 +331,9 @@ def bench_packed_ml1m(users=4096, calls=4, steps_per_call=8):
     from mygenerativerecommenders_tpu.utils.features import packed_seq_features
 
     cfg = get_preset("ml-1m-hstu")
+    if shared_negatives:
+        cfg.model.loss.shared_negatives = True
+        cfg.model.loss.num_to_sample = 1024
     resolve(cfg, cfg.data.expected_max_item_id)
     b, l = cfg.data.batch_size, cfg.data.max_sequence_length
     rng_np = np.random.default_rng(0)
@@ -476,6 +485,11 @@ def main():
     except Exception as e:
         _log(f"packed ml-1m bench failed: {e}")
         packed_ml1m = None
+    try:
+        packed_shared = bench_packed_ml1m(shared_negatives=True)
+    except Exception as e:
+        _log(f"packed+shared ml-1m bench failed: {e}")
+        packed_shared = None
     baseline = None
     if "--skip-baseline" not in sys.argv:
         try:
@@ -531,6 +545,8 @@ def main():
         out["long_n_packed_examples_per_sec"] = round(long_n_packed, 2)
     if packed_ml1m is not None:
         out["train_packed_ml1m_examples_per_sec"] = round(packed_ml1m, 2)
+    if packed_shared is not None:
+        out["train_packed_shared_ml1m_examples_per_sec"] = round(packed_shared, 2)
     if serving:
         out.update(serving)
     print(json.dumps(out))
