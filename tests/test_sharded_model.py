@@ -180,3 +180,56 @@ def test_amzn_books_preset_fast_dev_run(tmp_path):
         assert "ndcg@5" in results
     finally:
         trainer.close()
+
+
+def test_amzn_books_sharded_preset_fast_dev_run(tmp_path):
+    """amzn-books-sharded end-to-end scaled to the CPU mesh: packed
+    batches + owner-routed a2a table (2 shards here) + sharded candidate
+    index, through the Amazon ETL."""
+    import numpy as np
+    import pandas as pd
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    items = [f"B{i:04d}" for i in range(40)]
+    for u in range(24):
+        n = rng.integers(6, 20)
+        ts = np.sort(rng.integers(0, 10**6, size=n)) + 1_400_000_000
+        for t in range(n):
+            rows.append([f"U{u}", items[rng.integers(0, 8)], 5.0, int(ts[t])])
+    pd.DataFrame(rows).to_csv(
+        data_dir / "ratings_Books.csv", index=False, header=False
+    )
+
+    cfg = get_preset("amzn-books-sharded")
+    cfg.data.data_dir = str(data_dir)
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.batch_size = 8
+    cfg.data.max_sequence_length = 16
+    cfg.data.length_buckets = (8, 16)
+    cfg.data.pack_capacities = (8, 24)
+    cfg.model.embedding.num_shards = 2  # 8-way needs 8 model devices
+    cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.num_blocks = 1
+    cfg.model.loss.num_to_sample = 8
+    cfg.model.index.k = 5
+    cfg.model.metrics.at_k_list = (5,)
+    cfg.trainer.monitor = "val/ndcg@5"
+    cfg.trainer.fast_dev_run = True
+    trainer = Trainer(cfg)
+    try:
+        assert trainer.mesh.shape["model"] == 2
+        from mygenerativerecommenders_tpu.train.task_retrieval import (
+            index_sharded_on,
+        )
+
+        assert index_sharded_on(cfg)  # sharded candidate index engaged
+        results = trainer.fit()
+        assert "ndcg@5" in results
+    finally:
+        trainer.close()
