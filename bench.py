@@ -436,27 +436,54 @@ def bench_long_n_packed(users=2048):
     ).astype(np.int32)
     tx = build_optimizer(cfg.optimizer1, None, params, cfg.optimizer1.lr, 0.0)
     opt_state = jax.jit(tx.init)(params)
-    train_step = make_train_step(model, cfg, all_item_ids, packed=True)
+    # production path: stack same-shape (same-class) batch runs through
+    # the k-step scan, like trainer.steps_per_call — one dispatch per 4
+    # optimizer steps, which also de-noises the metric against the axon
+    # tunnel's per-call latency variance
+    K = 4
+    step1 = make_train_step(model, cfg, all_item_ids, packed=True)
+    stepk = make_train_step(model, cfg, all_item_ids, steps=K, packed=True)
     lr1, lr2 = cfg.optimizer1.lr, cfg.optimizer2.lr
+
+    def chunks(host_batches):
+        run = []
+        for x in host_batches:
+            if run and x["ids"].shape != run[0]["ids"].shape:
+                yield from _flush(run)
+                run = []
+            run.append(x)
+            if len(run) == K:
+                yield K, {key: np.stack([b[key] for b in run]) for key in run[0]}
+                run = []
+        yield from _flush(run)
+
+    def _flush(run):
+        for b in run:
+            yield 1, b
+
     p, o = params, opt_state
-    for i, batch in enumerate(loader):  # warm epoch: compile
-        p, o, loss = train_step(p, o, jax.device_put(batch), rng, lr1, lr2)
-        if i % 8 == 7:
-            float(loss)
-    float(loss)
+    for i, (n_steps, batch) in enumerate(chunks(list(loader))):  # warm: compile
+        fn = stepk if n_steps == K else step1
+        p, o, loss = fn(p, o, jax.device_put(batch), rng, lr1, lr2)
+        if i % 4 == 3:
+            float(np.asarray(loss).reshape(-1)[-1])
+    float(np.asarray(loss).reshape(-1)[-1])
     host_batches = list(loader)
     n_ex = sum(int(x["num_segments"].sum()) for x in host_batches)
-    batches = [jax.device_put(x) for x in host_batches]
+    dev = [
+        (n_steps, jax.device_put(b)) for n_steps, b in chunks(host_batches)
+    ]
     t0 = time.perf_counter()
-    for i, db in enumerate(batches):
-        p, o, loss = train_step(p, o, db, rng, lr1, lr2)
-        if i % 8 == 7:
-            float(loss)  # bound the dispatch queue (tunnel quirk)
-    float(loss)
+    for i, (n_steps, db) in enumerate(dev):
+        fn = stepk if n_steps == K else step1
+        p, o, loss = fn(p, o, db, rng, lr1, lr2)
+        if i % 4 == 3:
+            float(np.asarray(loss).reshape(-1)[-1])  # bound the queue
+    float(np.asarray(loss).reshape(-1)[-1])
     dt = time.perf_counter() - t0
     _log(
         f"long-N packed epoch {dt * 1e3:.0f} ms ({n_ex} ex, caps={caps}, "
-        f"{len(batches)} steps)"
+        f"{len(dev)} dispatches)"
     )
     return n_ex / dt
 
