@@ -67,6 +67,20 @@ def torch_state_dict_to_params(state: Dict[str, Any], params: Dict) -> Dict:
             src = find("embeddings._item_emb.weight")
         elif joined.endswith("embeddings/year_emb"):
             src = find("embeddings._year_emb.weight")
+            # both tables are indexed by YEAR VALUE, but the reference
+            # sizes its table by num_items+1 (embeddings.py:60-63) while
+            # ours is sized by num_years+1 — copy the overlapping rows
+            # and zero-pad the rest (rows beyond either bound are never
+            # indexed: year ids are bounded by the year column's values)
+            if src is not None:
+                rows = np.asarray(leaf).shape[0]
+                if src.shape[0] > rows:
+                    src = src[:rows]
+                elif src.shape[0] < rows:
+                    src = np.concatenate(
+                        [src, np.zeros((rows - src.shape[0],) + src.shape[1:],
+                                       dtype=src.dtype)]
+                    )
         elif joined.endswith("preprocessor/pos_emb"):
             src = find("preprocessor._pos_emb.weight")
         elif joined.endswith("preprocessor/rating_emb"):

@@ -81,7 +81,7 @@ def prefill(
     x = user_embeddings * valid_mask
     ks, vs = [], []
     num_blocks = m.encoder.num_blocks
-    n = x.shape[1]
+    b, n, _ = x.shape
     ts = payloads["timestamps"]
     ext = jnp.concatenate([ts, ts[:, -1:]], axis=1)
     tril = jnp.tril(jnp.ones((n, n)))
@@ -97,9 +97,14 @@ def prefill(
         j_idx = jnp.arange(n)[None, :]
         bias = pos_w[(j_idx - i_idx) + (n - 1)][None]
         delta = ext[:, 1:, None] - ext[:, None, :-1]
-        bias = bias + ts_w[bucketize_timedelta(delta, 128)]
-        attn = jax.nn.silu(jnp.einsum("bnd,bmd->bnm", q, k) + bias) / n * tril[None]
-        av = jnp.einsum("bnm,bmd->bnd", attn, v)
+        bias = bias + ts_w[bucketize_timedelta(delta, 128)]  # [B, N, N]
+        # per-head attention (bias shared across heads, hstu.py:191-192)
+        qh = q.reshape(b, n, h, dqk)
+        kh = k.reshape(b, n, h, dqk)
+        vh = v.reshape(b, n, h, dv)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) + bias[:, None]
+        attn = jax.nn.silu(logits) / n * tril[None, None]
+        av = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(b, n, h * dv)
         x = (u * _ln(av)) @ blk["o"]["kernel"] + blk["o"]["bias"] + x
 
     cache = DecodeCache(
@@ -160,10 +165,14 @@ def decode_step(
         bias = jnp.take(pos_w, rel) + jnp.take(
             ts_w, bucketize_timedelta(delta, 128)
         )  # [B, N]
-        logits = jnp.einsum("bd,bnd->bn", q_new, k_cache) + bias
+        # per-head attention row (bias shared across heads)
+        qh = q_new.reshape(b, h, dqk)
+        kh = k_cache.reshape(b, n, h, dqk)
+        vh = v_cache.reshape(b, n, h, dv)
+        logits = jnp.einsum("bhd,bnhd->bhn", qh, kh) + bias[:, None, :]
         attn = jax.nn.silu(logits) / n
-        attn = jnp.where(key_mask, attn, 0.0)
-        av = jnp.einsum("bn,bnd->bd", attn, v_cache)
+        attn = jnp.where(key_mask[:, None, :], attn, 0.0)
+        av = jnp.einsum("bhn,bnhd->bhd", attn, vh).reshape(b, h * dv)
         x = (u * _ln(av)) @ blk["o"]["kernel"] + blk["o"]["bias"] + x
 
     out = model.apply(

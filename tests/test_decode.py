@@ -17,10 +17,13 @@ from mygenerativerecommenders_tpu.ops.sequence import scatter_at_lengths
 from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
 
 
-def make_cfg():
+def make_cfg(heads=1, dqk=0, dv=0):
     cfg = Config()
     cfg.data.max_sequence_length = 20
     cfg.model.item_embedding_dim = 16
+    cfg.model.encoder.num_heads = heads
+    cfg.model.encoder.attention_dim = dqk
+    cfg.model.encoder.linear_dim = dv
     cfg.model.encoder.use_pallas = "false"
     resolve(cfg, 100)
     return cfg
@@ -44,8 +47,16 @@ def make_batch(rng, b, l):
     }
 
 
-def test_decode_step_matches_full_forward(rng):
-    cfg = make_cfg()
+import pytest
+
+
+@pytest.mark.parametrize(
+    "heads,dqk,dv",
+    [(1, 0, 0), (2, 8, 12)],  # multi-head + dqk != dv (VERDICT r3 item 4)
+    ids=["h1", "h2-dqk8-dv12"],
+)
+def test_decode_step_matches_full_forward(rng, heads, dqk, dv):
+    cfg = make_cfg(heads, dqk, dv)
     model = build_model(cfg)
     b, l = 3, 20
     batch = make_batch(rng, b, l)

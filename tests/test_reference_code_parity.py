@@ -444,3 +444,199 @@ def test_ce_rating_loss_matches_real_reference(rng):
         )
     )
     np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+
+def test_decode_cache_matches_real_reference(rng):
+    """Incremental decode vs the reference's delta_x_offsets/HSTUCacheState
+    cached attention (hstu.py:131, 266-423) — VERDICT r3 item 4.
+
+    The reference's cache machinery assumes a FIXED jagged layout between
+    calls (index_copy_ into the cached jagged v and the padded q/k
+    buffers), so the driver here prefills with full-length rows
+    (past_lengths = N for every row: x_offsets stay [0, N, 2N, ...] and
+    jagged == flattened-dense). Positions beyond the frontier hold
+    garbage but are causally masked for every live query; the new token
+    at position p is index_copy'd over its garbage q/k/v before its
+    attention row is computed, exactly the delta-path semantics. Three
+    tokens are decoded one at a time (heads=2, dqk=8 != dv=12) through
+    the GENUINE reference preprocessor/encoder/postprocessor with the
+    fork's item+year embedding table, and each step's postprocessed
+    row must match our prefill + decode_step with converted weights.
+
+    Timestamp convention: query row i reads ext[i+1] (the NEXT token's
+    timestamp, hstu.py:112-123); at decode time the next token is
+    unknown, so the new token's own timestamp is used — mirrored on the
+    reference side by also writing it at position p+1 (the same
+    convention features.py:55-57 uses when it scatters the target
+    timestamp at position `length` during training).
+    """
+    import jax.numpy as jnp
+
+    import generative_recommenders_pl.models.embeddings.embeddings as ref_emb_mod
+    from generative_recommenders_pl.models.postprocessors.postprocessors import (
+        L2NormEmbeddingPostprocessor as RefPost,
+    )
+    from generative_recommenders_pl.models.preprocessors.learnable_positional_embedding import (  # noqa: E501
+        LearnablePositionalEmbeddingInputFeaturesPreprocessor as RefPre,
+    )
+    from generative_recommenders_pl.models.sequential_encoders.hstu import (
+        HSTU as RefHSTU,
+    )
+
+    from mygenerativerecommenders_tpu.cli.convert_ckpt import (
+        torch_state_dict_to_params,
+    )
+    from mygenerativerecommenders_tpu.configs import Config, resolve
+    from mygenerativerecommenders_tpu.models.decode import decode_step, prefill
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.utils.features import (
+        seq_features_from_batch,
+    )
+
+    vocab = 100
+    year_map = {i: (i % 50) + 1 for i in range(1, vocab + 1)}
+    # the reference's module-level item->year dict (embeddings.py:12-18);
+    # reco_dataset and LocalEmbeddingModule share this object
+    ref_emb_mod.item2year.clear()
+    ref_emb_mod.item2year.update(year_map)
+
+    d, h, dqk, dv, blocks = 16, 2, 8, 12, 2
+    n_hist, n_out, steps = 24, 6, 3
+    n = n_hist + n_out
+    b = 3
+
+    torch.manual_seed(0)
+    ref_embeddings = ref_emb_mod.LocalEmbeddingModule(
+        num_items=vocab, item_embedding_dim=d
+    )
+    ref_pre = RefPre(max_sequence_len=n, embedding_dim=d, dropout_rate=0.0).eval()
+    ref_enc = RefHSTU(
+        max_sequence_len=n_hist,
+        max_output_len=n_out,
+        embedding_dim=d,
+        item_embedding_dim=d,
+        num_blocks=blocks,
+        num_heads=h,
+        attention_dim=dqk,
+        linear_dim=dv,
+        normalization="rel_bias",
+        linear_config="uvqk",
+        linear_activation="silu",
+        linear_dropout_rate=0.0,
+        attn_dropout_rate=0.0,
+        enable_relative_attention_bias=True,
+    ).eval()
+    ref_post = RefPost(embedding_dim=d, eps=1e-6)
+
+    # shared inputs
+    lengths = rng.integers(4, n_hist - 2, size=b).astype(np.int64)
+    ids = np.zeros((b, n_hist), dtype=np.int64)
+    ts = np.zeros((b, n_hist), dtype=np.int64)
+    for i, ln in enumerate(lengths):
+        ids[i, :ln] = rng.integers(1, vocab + 1, size=ln)
+        ts[i, :ln] = np.sort(rng.integers(10**5, 10**6, size=ln))
+    new_ids = rng.integers(1, vocab + 1, size=(steps, b)).astype(np.int64)
+    new_ts = (ts.max(axis=1)[None, :] + 100 * (1 + np.arange(steps))[:, None]).astype(
+        np.int64
+    )
+
+    # ---- ours: converted weights, prefill + decode_step ----
+    cfg = Config()
+    cfg.data.max_sequence_length = n_hist
+    cfg.model.gr_output_length = n_out - 1
+    cfg.model.item_embedding_dim = d
+    cfg.model.encoder.num_blocks = blocks
+    cfg.model.encoder.num_heads = h
+    cfg.model.encoder.attention_dim = dqk
+    cfg.model.encoder.linear_dim = dv
+    cfg.model.encoder.use_pallas = "false"
+    cfg.model.embedding.kind = "item_year"
+    resolve(cfg, vocab)
+    year_of_item = [year_map.get(i, 0) for i in range(vocab + 1)]
+    model = build_model(cfg, year_of_item=year_of_item)
+
+    batch = {
+        "lengths": lengths.astype(np.int32),
+        "ids": ids.astype(np.int32),
+        "ratings": np.ones((b, n_hist), dtype=np.int32),
+        "timestamps": ts.astype(np.int32),
+        "target_id": new_ids[0].astype(np.int32),
+        "target_rating": np.ones(b, dtype=np.int32),
+        "target_timestamp": new_ts[0].astype(np.int32),
+    }
+    seq, _, _ = seq_features_from_batch(batch, n_out)
+    init_params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, seq
+    )
+    state = {}
+    for prefix, module in (
+        ("embeddings", ref_embeddings),
+        ("preprocessor", ref_pre),
+        ("sequence_encoder", ref_enc),
+    ):
+        for k, v in module.state_dict().items():
+            state[f"{prefix}.{k}"] = v
+    params = torch_state_dict_to_params(state, init_params["params"])
+    params = {"params": params}
+
+    _, cache = prefill(model, params, seq)
+
+    # ---- reference: full-length-layout prefill, then 3 delta calls ----
+    full_lengths = torch.full((b,), n, dtype=torch.int64)
+    ids_buf = torch.zeros((b, n), dtype=torch.int64)
+    ids_buf[:, :n_hist] = torch.tensor(ids)
+    ts_buf = torch.zeros((b, n), dtype=torch.int64)
+    ts_buf[:, :n_hist] = torch.tensor(ts)
+    # prefill timestamp layout == ours (target ts scattered at `length`)
+    ts_buf[torch.arange(b), torch.tensor(lengths)] = torch.tensor(new_ts[0])
+
+    with torch.no_grad():
+        emb_buf = ref_embeddings.get_item_embeddings(ids_buf)
+        _, x_dense, _, _ = ref_pre(
+            past_lengths=full_lengths,
+            past_ids=ids_buf,
+            past_embeddings=emb_buf,
+            past_payloads={},
+        )
+        _, ref_cache = ref_enc(
+            past_lengths=full_lengths,
+            user_embeddings=x_dense,
+            valid_mask=None,
+            past_payloads={"timestamps": ts_buf},
+            return_cache_states=True,
+        )
+
+        pos_w = ref_pre._pos_emb.weight
+        for t in range(steps):
+            p = torch.tensor(lengths) + t  # [b] new-token positions
+            g = torch.tensor(new_ids[t])
+            nts = torch.tensor(new_ts[t])
+            ids_buf[torch.arange(b), p] = g
+            ts_buf[torch.arange(b), p] = nts
+            # the "next token" slot mirrors our own-timestamp convention
+            ts_buf[torch.arange(b), torch.clamp(p + 1, max=n - 1)] = nts
+            new_x = ref_embeddings.get_item_embeddings(g) * (d**0.5) + pos_w[p]
+            x_dense[torch.arange(b), p] = new_x
+            flat = (torch.arange(b) * n + p).to(torch.int64)
+            y, ref_cache = ref_enc(
+                past_lengths=full_lengths,
+                user_embeddings=x_dense,
+                valid_mask=None,
+                past_payloads={"timestamps": ts_buf},
+                delta_x_offsets=(flat, p),
+                cache=ref_cache,
+                return_cache_states=True,
+            )
+            ref_out = ref_post(y[torch.arange(b), p]).numpy()
+
+            ours_out, cache = decode_step(
+                model,
+                params,
+                cache,
+                jnp.asarray(new_ids[t], dtype=jnp.int32),
+                jnp.asarray(new_ts[t], dtype=jnp.int32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(ours_out), ref_out, rtol=2e-4, atol=2e-5,
+                err_msg=f"decode step {t}",
+            )
