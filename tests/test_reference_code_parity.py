@@ -640,3 +640,112 @@ def test_decode_cache_matches_real_reference(rng):
                 np.asarray(ours_out), ref_out, rtol=2e-4, atol=2e-5,
                 err_msg=f"decode step {t}",
             )
+
+
+def test_muon_update_matches_real_reference(rng):
+    """Step the GENUINE reference Muon (optimizers/muon.py:42-86) and our
+    optax port on identical params/grads for 4 steps and compare the
+    parameter trajectories — VERDICT r3 item 8. Tall + wide params
+    exercise the NS-5 transpose branch; both sides run NS-5 in bfloat16,
+    so the tolerance is bf16-appropriate. (No 1-D params: the reference
+    asserts ndim >= 2 — the split rule routes those to AdamW — while our
+    port passes them through as SGD-momentum.)"""
+    import jax.numpy as jnp
+    import optax
+
+    from generative_recommenders_pl.models.optimizers.muon import Muon as RefMuon
+
+    from mygenerativerecommenders_tpu.train.optimizers import muon
+
+    shapes = [(8, 12), (16, 4)]
+    params0 = [rng.normal(size=s).astype(np.float32) for s in shapes]
+    grads = [
+        [rng.normal(size=s).astype(np.float32) for s in shapes]
+        for _ in range(4)
+    ]
+
+    t_params = [torch.nn.Parameter(torch.tensor(p)) for p in params0]
+    ref_opt = RefMuon(t_params, lr=0.02, weight_decay=0.01, momentum=0.95)
+    for g in grads:
+        for p, gi in zip(t_params, g):
+            p.grad = torch.tensor(gi)
+        ref_opt.step()
+
+    tx = muon(
+        learning_rate=0.02, momentum=0.95, nesterov=True, ns_steps=5,
+        weight_decay=0.01,
+    )
+    jp = [jnp.asarray(p) for p in params0]
+    state = tx.init(jp)
+    for g in grads:
+        updates, state = tx.update([jnp.asarray(x) for x in g], state, jp)
+        jp = optax.apply_updates(jp, updates)
+
+    for ours, ref, s in zip(jp, t_params, shapes):
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.detach().numpy(), rtol=3e-2, atol=3e-3,
+            err_msg=f"muon param {s}",
+        )
+
+
+@pytest.mark.parametrize(
+    "norm_ref,norm_ours,shape,unconstrained",
+    [
+        ("Auto", "auto", (8, 12), True),
+        ("Auto", "auto", (9,), True),
+        ("Spectral", "spectral", (16, 4), False),
+        ("ColNorm", "col", (8, 12), True),
+        ("RowNorm", "row", (8, 12), True),
+        ("Sign", "sign", (6, 10), True),
+        ("BiasRMS", "bias_rms", (11,), False),
+    ],
+)
+def test_scion_update_matches_real_reference(
+    rng, norm_ref, norm_ours, shape, unconstrained
+):
+    """Step the GENUINE reference Scion (optimizers/scion.py:215-269) and
+    our optax port on identical params/grads for 4 steps, across the norm
+    LMO family and both constrained modes — VERDICT r3 item 8."""
+    import jax.numpy as jnp
+    import optax
+
+    from generative_recommenders_pl.models.optimizers.scion import Scion as RefScion
+
+    from mygenerativerecommenders_tpu.train.optimizers import scion
+
+    params0 = rng.normal(size=shape).astype(np.float32)
+    grads = [rng.normal(size=shape).astype(np.float32) for _ in range(4)]
+
+    t_param = torch.nn.Parameter(torch.tensor(params0))
+    ref_opt = RefScion(
+        [t_param], lr=0.05, momentum=0.1, norm=norm_ref, scale=1.5,
+        unconstrained=unconstrained,
+    )
+    for g in grads:
+        t_param.grad = torch.tensor(g)
+        ref_opt.step()
+
+    tx = scion(
+        learning_rate=0.05, momentum=0.1, norm=norm_ours, scale=1.5,
+        unconstrained=unconstrained, ns_steps=5,
+    )
+    jp = [jnp.asarray(params0)]
+    state = tx.init(jp)
+    for g in grads:
+        updates, state = tx.update([jnp.asarray(g)], state, jp)
+        jp = optax.apply_updates(jp, updates)
+
+    # NS-5 runs in bf16 on both sides and its quintic has slope ~3.4 at
+    # zero, amplifying input rounding by up to ~3.4^5 on small singular
+    # directions — per-update diffs of a few percent are inherent and
+    # accumulate additively across steps (measured max 2.5e-2 over 4
+    # steps of cumulative-update magnitude ~0.3). The non-NS norms are
+    # exact fp32 arithmetic and must match tightly.
+    tol = (
+        dict(rtol=3e-2, atol=4e-2)
+        if norm_ref in ("Auto", "Spectral") and len(shape) >= 2
+        else dict(rtol=1e-5, atol=1e-6)
+    )
+    np.testing.assert_allclose(
+        np.asarray(jp[0]), t_param.detach().numpy(), **tol
+    )
