@@ -278,3 +278,29 @@ def test_ranking_converges_on_quality_ratings(tmp_path):
     assert results["auroc"] > 0.62, results
     assert results["precision"] == results["recall"]  # micro avg
     assert results["precision"] > 0.25, results  # chance ~0.2 over 5 ratings
+
+
+def test_retrieval_converges_above_floor(tmp_path):
+    """Retrieval convergence floor in CI (VERDICT r3 item 6): the smoke
+    tests only assert structure, so a kernel/loss regression that still
+    trains would pass. 10 epochs on the popularity-skewed synthetic study
+    must clear a floor well above chance (chance hr@10 = 10/200 = 0.05,
+    ndcg@10 ~ 0.023; the healthy path measures hr@10 ~ 0.121 /
+    ndcg@10 ~ 0.076 here, and the fixed seed makes the run
+    deterministic). ~16 s on CPU."""
+    cfg = get_preset("synthetic-smoke")
+    cfg.data.data_dir = str(tmp_path / "data")
+    cfg.trainer.output_dir = str(tmp_path / "out")
+    cfg.data.synthetic_num_users = 256
+    cfg.data.batch_size = 32
+    cfg.trainer.max_epochs = 10
+    cfg.trainer.min_epochs = 10
+    cfg.trainer.check_val_every_n_epoch = 10
+    trainer = Trainer(cfg)
+    try:
+        results = trainer.fit()
+    finally:
+        trainer.close()
+    assert results["ndcg@10"] > 0.05, results
+    assert results["hr@10"] > 0.085, results
+    assert results["mrr"] > 0.06, results
