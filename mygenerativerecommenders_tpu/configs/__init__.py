@@ -317,6 +317,12 @@ class TrainerConfig:
     # process per host; env-based coordinator discovery) and shard the
     # data pipeline by jax.process_index()
     distributed: bool = False
+    # mesh layout: False (default) keeps model/sp collective groups on
+    # consecutive devices (intra-host ICI; the data-axis psum crosses
+    # hosts); True makes the data axis innermost so model/sp groups span
+    # hosts — use when a table/TP/ring axis must cross slices (and in the
+    # real-2-process sharded tests, which stress exactly that path)
+    mesh_data_innermost: bool = False
     # host->device pipeline depth: batches resident on device ahead of
     # the step consuming them (2 = classic double buffering; 0/1 = off)
     prefetch: int = 2

@@ -46,11 +46,22 @@ def make_mesh(
     model_axis: int = 1,
     sp_axis: int = 1,
     col_axis: int = 1,
+    data_innermost: bool = False,
 ) -> Mesh:
     """(data[, model][, col][, sp]) mesh: "model" shards embedding-table
     rows (and TP matrices), "col" shards embedding-table columns
     (sharded_2d), "sp" shards the sequence axis (ring attention); "data"
-    gets the rest."""
+    gets the rest.
+
+    `data_innermost` controls which axes ride the fast interconnect:
+    False (default) lays devices out [data, model, col, sp] so model/sp
+    collective groups are CONSECUTIVE devices (intra-host ICI — the
+    production layout: table all-to-alls and ring ppermutes stay on ICI,
+    the data-axis gradient psum crosses hosts); True makes the data axis
+    the consecutive one, so model/sp groups SPAN hosts — the layout that
+    stresses cross-host all-to-all/ppermute (used by the real-2-process
+    sharded tests, and the right choice when a model axis must span
+    slices anyway)."""
     devices = jax.devices()
     n = num_devices or len(devices)
     shape, names = [], []
@@ -70,7 +81,12 @@ def make_mesh(
             f"mesh needs {denom} devices for model_axis={model_axis} x "
             f"col_axis={col_axis} x sp_axis={sp_axis}, have {n}"
         )
-    arr = np.array(devices[: data * denom]).reshape([data] + shape)
+    if data_innermost:
+        arr = np.moveaxis(
+            np.array(devices[: data * denom]).reshape(shape + [data]), -1, 0
+        )
+    else:
+        arr = np.array(devices[: data * denom]).reshape([data] + shape)
     return Mesh(arr, axis_names=tuple(["data"] + names))
 
 
@@ -128,7 +144,7 @@ class Trainer:
         # over "model" (models/hstu.py _ring_attention head_axis)
         self.mesh = make_mesh(
             cfg.trainer.num_devices, model_axis=model_axis, sp_axis=sp_axis,
-            col_axis=col_axis,
+            col_axis=col_axis, data_innermost=cfg.trainer.mesh_data_innermost,
         )
         self._mesh_ctx = None
         if model_axis > 1 or sp_axis > 1 or col_axis > 1:
@@ -403,9 +419,23 @@ class Trainer:
             self._multi_step_cache[k] = fn
         return self._multi_step_cache[k]
 
+    def _loader_sharding(self) -> tuple:
+        """(process_index, process_count) for the loader's example-stream
+        sharding. Processes own DISJOINT data-axis row slices only in the
+        default mesh layout; with mesh_data_innermost every process's
+        devices touch every data slice, so each process must load the
+        IDENTICAL full global batch (make_array_from_process_local_data
+        infers the global shape from the addressable shards — feeding
+        process-local strided rows there would silently hand the model
+        axis inconsistent replicas)."""
+        if jax.process_count() == 1 or self.cfg.trainer.mesh_data_innermost:
+            return 0, 1
+        return jax.process_index(), jax.process_count()
+
     def _loader(self, split: str, packed: bool = False):
         """Split loader sharded by process (multi-host data parallelism).
         packed=True (train only) returns the PackedBatchLoader."""
+        proc_idx, proc_cnt = self._loader_sharding()
         if packed:
             from mygenerativerecommenders_tpu.data.packing import (
                 PackedBatchLoader,
@@ -436,8 +466,8 @@ class Trainer:
                 row_capacity=cap,
                 shuffle=(split == "train"),
                 seed=self.cfg.trainer.seed,
-                process_index=jax.process_index(),
-                process_count=jax.process_count(),
+                process_index=proc_idx,
+                process_count=proc_cnt,
                 capacities=caps,
                 row_multiple=data_ax,
                 # every class emits ~batch_size-example batches, matching
@@ -445,9 +475,7 @@ class Trainer:
                 segments_per_batch=(0 if d.pack_rows else d.batch_size),
             )
         return self.data.loader(
-            split,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
+            split, process_index=proc_idx, process_count=proc_cnt,
         )
 
     def _local_rows(self, arr: jax.Array) -> np.ndarray:
@@ -465,6 +493,11 @@ class Trainer:
         may differ by one batch across processes, so pad to the max count
         before the fixed-shape all-gather, then drop the padding."""
         if jax.process_count() == 1:
+            return arr
+        if self._loader_sharding() == (0, 1):
+            # every process already evaluated the FULL row set (identical
+            # loaders under mesh_data_innermost) — gathering would
+            # duplicate rows
             return arr
         from jax.experimental import multihost_utils
 

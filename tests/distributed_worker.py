@@ -17,10 +17,36 @@ import json
 import os
 import sys
 
+import numpy as np
+
+
+def apply_mode(cfg, mode: str) -> None:
+    """Configure the recipe variant under test. The sharded modes set
+    mesh_data_innermost so the model/sp collective groups SPAN the two
+    processes — the all-to-all / ppermute actually crosses a real process
+    boundary (VERDICT r3 item 5; SURVEY §7 hard-part 6)."""
+    if mode == "packed":
+        cfg.data.pack_sequences = True
+    elif mode == "a2a_tp":
+        cfg.model.embedding.kind = "sharded_a2a"
+        cfg.model.embedding.num_shards = 2
+        cfg.model.encoder.tp_shards = 2
+        cfg.trainer.mesh_data_innermost = True
+        # with the data axis innermost every process loads the identical
+        # FULL global batch (Trainer._loader_sharding)
+        cfg.data.batch_size = 16
+    elif mode == "ring":
+        cfg.model.encoder.sp_shards = 2
+        cfg.model.encoder.sp_zigzag = True
+        cfg.trainer.mesh_data_innermost = True
+        cfg.data.batch_size = 16
+    elif mode != "padded":
+        raise ValueError(f"unknown mode {mode}")
+
 
 def main():
     coordinator, pid, nprocs, data_dir, out_json = sys.argv[1:6]
-    packed = len(sys.argv) > 6 and sys.argv[6] == "packed"
+    mode = sys.argv[6] if len(sys.argv) > 6 else "padded"
     pid, nprocs = int(pid), int(nprocs)
 
     import jax
@@ -47,9 +73,20 @@ def main():
     cfg.trainer.max_epochs = 2
     cfg.trainer.min_epochs = 1
     cfg.trainer.distributed = True
-    cfg.data.pack_sequences = packed
+    apply_mode(cfg, mode)
 
     trainer = Trainer(cfg)
+    if mode in ("a2a_tp", "ring"):
+        # the sharded axis must REALLY span the two processes
+        axis = "model" if mode == "a2a_tp" else "sp"
+        ax_idx = list(trainer.mesh.axis_names).index(axis)
+        spine = np.moveaxis(trainer.mesh.devices, ax_idx, 0).reshape(
+            trainer.mesh.shape[axis], -1
+        )
+        procs_along_axis = {d.process_index for d in spine[:, 0]}
+        assert len(procs_along_axis) == nprocs, (
+            f"{axis} axis does not cross processes: {procs_along_axis}"
+        )
     try:
         final_loss = None
         train_loader = trainer._loader("train", packed=trainer._packed)

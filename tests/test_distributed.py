@@ -24,8 +24,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("packed", [False, True], ids=["padded", "packed"])
-def test_two_process_training_matches_single_process(tmp_path, packed):
+@pytest.mark.parametrize(
+    "mode", ["padded", "packed", "a2a_tp", "ring"]
+)
+def test_two_process_training_matches_single_process(tmp_path, mode):
+    """padded/packed cover DP; a2a_tp runs the owner-routed all-to-all
+    table + Megatron TP with the 'model' axis SPANNING the two processes
+    (mesh_data_innermost), and ring runs zigzag ring attention with 'sp'
+    spanning them — the cross-process collective paths where multi-host
+    deadlocks live (VERDICT r3 item 5)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data_dir = str(tmp_path / "data")
 
@@ -56,7 +63,7 @@ def test_two_process_training_matches_single_process(tmp_path, packed):
                     "2",
                     data_dir,
                     out_json,
-                ] + (["packed"] if packed else []),
+                ] + [mode],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -91,7 +98,10 @@ def test_two_process_training_matches_single_process(tmp_path, packed):
     cfg1.trainer.output_dir = str(tmp_path / "out_single")
     cfg1.trainer.max_epochs = 2
     cfg1.trainer.min_epochs = 1
-    cfg1.data.pack_sequences = packed
+    sys.path.insert(0, os.path.join(repo, "tests"))
+    from distributed_worker import apply_mode
+
+    apply_mode(cfg1, mode)
     trainer = Trainer(cfg1)
     try:
         loader = trainer._loader("train", packed=trainer._packed)
