@@ -451,7 +451,8 @@ def run_ours(epochs: int, users: int) -> dict:
             # half-item/half-year table (embeddings.py:55-73)
             "model.embedding.kind=item_year",
             f"trainer.max_epochs={epochs}",
-            f"trainer.output_dir={os.path.join(data_dir_for(users), 'ours')}",
+            f"trainer.seed={SEED}",
+            f"trainer.output_dir={os.path.join(data_dir_for(users), 'ours', f's{SEED}')}",
         ],
     )
     trainer = Trainer(cfg)
@@ -466,13 +467,19 @@ def run_ours(epochs: int, users: int) -> dict:
 
 
 def main():
+    global SEED
     arm = sys.argv[1] if len(sys.argv) > 1 else "both"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     users = int(sys.argv[3]) if len(sys.argv) > 3 else 384
+    SEED = int(sys.argv[4]) if len(sys.argv) > 4 else 42
     if arm in ("ref", "both"):
-        print(json.dumps(run_reference(epochs, users)), flush=True)
+        out = run_reference(epochs, users)
+        out["seed"] = SEED
+        print(json.dumps(out), flush=True)
     if arm in ("ours", "both"):
-        print(json.dumps(run_ours(epochs, users)), flush=True)
+        out = run_ours(epochs, users)
+        out["seed"] = SEED
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

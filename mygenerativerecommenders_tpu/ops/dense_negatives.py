@@ -93,6 +93,54 @@ def count_offsets_b(
     return count
 
 
+def count_offsets_packed4(
+    offsets: jax.Array,  # [BT, R] int32 (sentinel >= slices*128 -> dropped)
+    positive_offsets: jax.Array,  # [BT] catalog offset of the positive
+    slices: int,  # total hi-slice capacity, multiple of 4
+    block_slices: int,  # hi slices per consumer x-block (hb); multiple of 4
+) -> jax.Array:
+    """Radix-256 packed multiplicity matrix: [BT, slices//4, 128] uint32.
+
+    FOUR hi slices share one u32 accumulator lane. Digit planes are
+    BLOCK-LOCAL plane-major: within consumer x-block jb (slices
+    [jb*hb, (jb+1)*hb)), digit j of group g holds slice jb*hb + j*(hb//4)
+    + g — so a consumer that unpacks the four digit planes of its count
+    block and concatenates them along lanes recovers the block's slices
+    in ORIGINAL order (no catalog permutation anywhere). Exact: counts
+    <= R <= 255 and 255 * (1 + 256 + 2^16 + 2^24) = 2^32 - 1, so the u32
+    accumulator cannot overflow.
+
+    The accidental-hit mask is folded into the DRAW weights (a [BT, R]
+    compare — offsets == positive never counts), replacing the
+    [BT, HI, 128] lane-mask pass of the unpacked path. The einsum's
+    reduction, which XLA lowers as a fused compare-select reduce in step
+    context, does 4x less work than the one-hot-per-slice form.
+    """
+    assert slices % 4 == 0 and block_slices % 4 == 0, (slices, block_slices)
+    assert offsets.shape[-1] <= 255, offsets.shape
+    gb = block_slices // 4
+    ngrp = slices // 4
+    h = offsets // _LO
+    lo = offsets % _LO
+    jb = h // block_slices
+    h_local = h % block_slices
+    dig = h_local // gb
+    g = jb * gb + h_local % gb
+    live = (offsets < slices * _LO) & (
+        offsets != positive_offsets[:, None].astype(offsets.dtype)
+    )
+    # dig & 3: sentinel rows can carry arbitrary h; keep the shift amount
+    # in-range (their weight is zeroed by `live` regardless)
+    w = jnp.where(live, jnp.uint32(1) << (8 * (dig & 3)).astype(jnp.uint32), 0)
+    hg = jnp.where(
+        g[..., None] == jnp.arange(ngrp, dtype=g.dtype), w[..., None], 0
+    )  # [BT, R, G] u32
+    low_oh = (lo[..., None] == jnp.arange(_LO, dtype=lo.dtype)).astype(jnp.uint32)
+    return jnp.einsum(
+        "brg,brl->bgl", hg, low_oh, preferred_element_type=jnp.uint32
+    )
+
+
 def sampled_softmax_dense_neg_lse(
     query: jax.Array,  # [..., D] (postprocessed outputs)
     norm_catalog: jax.Array,  # [X, D] normalized catalog embeddings
@@ -121,31 +169,55 @@ def sampled_softmax_dense_neg_lse(
         # digit is out of the widened one-hot iota range, so padded rows
         # produce all-zero counts (exact). The hi axis is likewise born
         # at the kernels' hb*n_j width.
+        from mygenerativerecommenders_tpu.ops.pallas import count_kernel
+
+        hb_packed = dense_softmax.hi_blocks(x, packed=True)
+        # packed only where the block-diagonal count kernel applies: the
+        # plain u32 einsum lowering is SLOWER than the u8 one (integer
+        # reduce fusions miss the u8 vectorization), so without the
+        # kernel the u8 path + mask pass wins
+        packed = (
+            r <= 255
+            and hb_packed is not None
+            and count_kernel.supported(hb_packed[0] * hb_packed[1])
+        )
         bt = offs2.shape[0]
-        bq = dense_softmax.bt_tile(x)
+        bq = dense_softmax.bt_tile(x, packed=packed)
         bt_pad = ((bt + bq - 1) // bq) * bq
-        hb, n_j = dense_softmax.hi_blocks(x)
+        hb, n_j = dense_softmax.hi_blocks(x, packed=packed)
         hi_pad = hb * n_j
         if bt_pad != bt:
             offs2 = jnp.pad(
                 offs2, ((0, bt_pad - bt), (0, 0)), constant_values=hi_pad * 128
             )
-        # 3-D count kernels (any catalog size: large catalogs tile over
-        # x-blocks in-kernel) skip the [BT, hi, lo] -> [BT, X] relayout
-        # copies entirely (~8.8 ms/step at ml-20m's X=26744)
-        count3 = jax.lax.stop_gradient(count_offsets_b(offs2, x, hi_pad))
-        # fold the accidental-hit mask into the count fusion (XLA fuses
-        # the elementwise epilogue): the fwd + both bwd kernels then skip
-        # their per-tile iota/compare/select passes — the kernels are
-        # VPU-elementwise-bound, so 2 fewer passes x3 kernels is real
         sup = positive_offsets.reshape(-1).astype(jnp.int32)
         if bt_pad != bt:
             sup = jnp.pad(sup, (0, bt_pad - bt), constant_values=-1)
-        x_of_lane = (
-            jnp.arange(hi_pad, dtype=jnp.int32)[None, :, None] * 128
-            + jnp.arange(128, dtype=jnp.int32)[None, None, :]
-        )
-        count3 = count3 * (x_of_lane != sup[:, None, None]).astype(count3.dtype)
+        if packed:
+            # radix-256 packed u32 counts via the block-diagonal MXU
+            # kernel: one-hots never touch HBM, and the accidental-hit
+            # mask folds into the [BT, R] draw weights instead of a
+            # [BT, HI, 128] lane-mask pass
+            count3 = jax.lax.stop_gradient(
+                count_kernel.count_offsets_packed4_tpu(
+                    offs2, sup, hi_pad, hb
+                )
+            )
+        else:
+            # 3-D count kernels (any catalog size: large catalogs tile
+            # over x-blocks in-kernel) skip the [BT, hi, lo] -> [BT, X]
+            # relayout copies entirely (~8.8 ms/step at ml-20m's X=26744)
+            count3 = jax.lax.stop_gradient(count_offsets_b(offs2, x, hi_pad))
+            # fold the accidental-hit mask into the count fusion (XLA
+            # fuses the elementwise epilogue): the fwd + both bwd kernels
+            # then skip their per-tile iota/compare/select passes
+            x_of_lane = (
+                jnp.arange(hi_pad, dtype=jnp.int32)[None, :, None] * 128
+                + jnp.arange(128, dtype=jnp.int32)[None, None, :]
+            )
+            count3 = count3 * (x_of_lane != sup[:, None, None]).astype(
+                count3.dtype
+            )
         lse = dense_softmax.fused_dense_neg_lse_t(
             query.reshape(-1, query.shape[-1]),
             norm_catalog,

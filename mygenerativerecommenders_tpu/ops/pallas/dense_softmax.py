@@ -368,6 +368,14 @@ def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, j, hb, inv_tau):
     kills the XLA-side [b,hi,lo]->[hi,b,lo] transpose (2.2 GB of HBM
     traffic, ~3.3 ms/step at ml-20m) — and the row-major [BQ, hb*128]
     flatten it needs here is a VMEM-local relayout.
+
+    A uint32 count block is RADIX-256 PACKED [BQ, hb//4, 128] (four hi
+    slices per lane, ops/dense_negatives.py:count_offsets_packed4): the
+    four digit planes unpack with shifts and concatenate along lanes,
+    which recovers the block's slices in original order because the
+    packing is block-local plane-major (digit j holds slices
+    [j*hb//4, (j+1)*hb//4)). This quarters the count-build einsum's
+    reduction work in the XLA step context.
     """
     q = q_ref[...].astype(jnp.float32)  # [BQ, D]
     cat = cat3_ref[...].reshape(hb * 128, cat3_ref.shape[2])  # free bitcast
@@ -378,13 +386,28 @@ def _wide_al_cmask(q_ref, cat3_ref, cnt3_ref, j, hb, inv_tau):
         )
         * inv_tau
     )  # [BQ, W]
-    # relayout [BQ, hb, 128] -> [BQ, hb*128] while still u8 (4x less
-    # VMEM shuffle traffic than after the f32 conversion)
-    cnt = cnt3_ref[...].reshape(cnt3_ref.shape[0], hb * 128)
-    if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
-        cnt = cnt.astype(jnp.int32)
+    cnt_raw = cnt3_ref[...]
+    if cnt_raw.dtype == jnp.uint32:
+        gb = cnt_raw.shape[1]
+        pw = cnt_raw.reshape(cnt_raw.shape[0], gb * 128)
+        cnt = jnp.concatenate(
+            [
+                ((pw >> jnp.uint32(8 * dig)) & jnp.uint32(255)).astype(
+                    jnp.int32
+                )
+                for dig in range(4)
+            ],
+            axis=1,
+        )  # [BQ, hb*128], original slice order
+    else:
+        # relayout [BQ, hb, 128] -> [BQ, hb*128] while still u8 (4x less
+        # VMEM shuffle traffic than after the f32 conversion)
+        cnt = cnt_raw.reshape(cnt_raw.shape[0], hb * 128)
+        if cnt.dtype == jnp.uint8:  # Mosaic lacks u8->f32; hop via i32
+            cnt = cnt.astype(jnp.int32)
     # accidental-hit masking already happened at count-build time (the
-    # caller folds it into the count fusion), so cmask IS the count
+    # caller folds it into the count fusion / the packed draw weights),
+    # so cmask IS the count
     cmask = cnt.astype(jnp.float32)
     al_live = jnp.where(cmask > 0, al, _NEG_INF)
     return al_live, cmask, cat
@@ -514,18 +537,37 @@ def _hb_blocks(n_lanes: int) -> tuple:
     return best[1], best[2]
 
 
-def hi_blocks(x: int) -> tuple:
+def _hb_blocks_packed(n_lanes: int) -> tuple | None:
+    """x-block split for RADIX-256 PACKED u32 counts: hb must be a
+    multiple of 4 (four slices per packed lane) and the [BQ, hb//4, 128]
+    count block's sublane dim (hb//4) must be 8-divisible when the block
+    is partial — so tiled catalogs use hb = 32 exactly, and single-block
+    catalogs round n_lanes up to a multiple of 4 (full-cover blocks are
+    exempt from the 8-divisibility rule). Returns None when no valid
+    packed tiling exists (x-block budget below 32 slices) — callers fall
+    back to the unpacked u8 path."""
+    max_hb = _XB // 128
+    if n_lanes <= max_hb:
+        return _round_up(n_lanes, 4), 1
+    if max_hb < 32:
+        return None
+    return 32, -(-n_lanes // 32)
+
+
+def hi_blocks(x: int, packed: bool = False) -> tuple:
     """(hb, n_j) x-block split for catalog size x (see _hb_blocks).
 
     hi_pad = hb * n_j is the hi-digit count the transposed-count kernels
     expect; callers that build the count tensor at this width (and
     sentinel-pad offsets past hi_pad * 128) let _prep3 skip every pad
-    copy of the count buffer.
+    copy of the count buffer. packed=True gives the split for u32
+    radix-256 packed counts (count tensor width hi_pad // 4).
     """
-    return _hb_blocks(_round_up(x, 128) // 128)
+    n_lanes = _round_up(x, 128) // 128
+    return _hb_blocks_packed(n_lanes) if packed else _hb_blocks(n_lanes)
 
 
-def bt_tile(x: int) -> int:
+def bt_tile(x: int, packed: bool = False) -> int:
     """bt-tile width of the transposed-count kernels for catalog size x.
 
     Multi-x-block catalogs (n_j > 1) re-fetch the ~2 MB catalog block
@@ -537,27 +579,31 @@ def bt_tile(x: int) -> int:
     ml-1m 11.1 vs 12.7 ms/step at 512).
     """
     n_hi = _round_up(x, 128) // 128
-    _, n_j = _hb_blocks(n_hi)
+    _, n_j = _hb_blocks_packed(n_hi) if packed else _hb_blocks(n_hi)
     return _BQ3 if n_j > 1 else 128
 
 
 def _prep3(q2, norm_catalog, count3):
+    packed = count3.dtype == jnp.uint32
     bt, d = q2.shape
     x = norm_catalog.shape[0]
-    bq = bt_tile(x)
+    bq = bt_tile(x, packed=packed)
     bt_pad = _round_up(bt, bq)
     d_pad = _round_up(d, 128)
     n_hi = _round_up(x, 128) // 128
-    hb, n_j = _hb_blocks(n_hi)
+    hb, n_j = _hb_blocks_packed(n_hi) if packed else _hb_blocks(n_hi)
     # count3 is b-major [BT, HI, 128] — the one-hot count einsum's native
     # output order, so no physical transpose is ever materialized. The
     # fast path (sampled_softmax_dense_neg_lse) builds it already padded
     # on both axes (sentinel-padded offsets + hi-one-hot at hb*n_j width);
     # a post-hoc pad here copies the whole buffer, so it only runs for
-    # direct callers on unpadded inputs (tests, ad-hoc use).
-    assert count3.shape[1] in (n_hi, hb * n_j) and count3.shape[0] in (
-        bt, bt_pad,
-    ), (count3.shape, n_hi, hb * n_j, bt, bt_pad)
+    # direct callers on unpadded inputs (tests, ad-hoc use). Packed u32
+    # counts carry four slices per lane: width hb*n_j//4, always born
+    # fully padded by count_offsets_packed4.
+    hi_width = hb * n_j // 4 if packed else hb * n_j
+    assert count3.shape[1] in ((hi_width,) if packed else (n_hi, hi_width)) and (
+        count3.shape[0] in (bt, bt_pad)
+    ), (count3.shape, n_hi, hi_width, bt, bt_pad)
     x_pad = n_j * hb * 128  # zero-padded slices count nothing: exact
     qp = jnp.pad(q2, ((0, bt_pad - bt), (0, d_pad - d)))
     cat3 = jnp.pad(
@@ -567,7 +613,7 @@ def _prep3(q2, norm_catalog, count3):
         count3,
         (
             (0, bt_pad - count3.shape[0]),
-            (0, n_j * hb - count3.shape[1]),
+            (0, hi_width - count3.shape[1]),
             (0, 0),
         ),
     )
@@ -594,6 +640,7 @@ def _fused_fwd3(q2, norm_catalog, count3, temperature):
     qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j = _prep3(
         q2, norm_catalog, count3
     )
+    cb = hb // 4 if cnt3.dtype == jnp.uint32 else hb
     m_p, s_p = pl.pallas_call(
         functools.partial(
             _fwd_kernel3, hb=hb, inv_tau=1.0 / temperature, single=(n_j == 1)
@@ -602,7 +649,7 @@ def _fused_fwd3(q2, norm_catalog, count3, temperature):
         in_specs=[
             pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
             pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
-            pl.BlockSpec((bq, hb, 128), lambda j, i: (i, j, 0)),
+            pl.BlockSpec((bq, cb, 128), lambda j, i: (i, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq), lambda j, i: (j, 0, i)),
@@ -638,6 +685,7 @@ def _vjp_bwd3(temperature, residuals, gl):
     qp, cat3, cnt3, bt, d, x, bq, bt_pad, d_pad, hb, n_j = _prep3(
         q2, norm_catalog, count3
     )
+    cb = hb // 4 if cnt3.dtype == jnp.uint32 else hb
     m_safe = jnp.where(m > 0.5 * _NEG_INF, m, 0.0)
     pad1 = lambda a: jnp.pad(a.astype(jnp.float32), (0, bt_pad - bt))[None, :]
     gl_clean = jnp.where(s > 0, gl, 0.0)
@@ -653,7 +701,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             in_specs=[
                 pl.BlockSpec((bq, d_pad), lambda i: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda i: (0, 0, 0)),
-                pl.BlockSpec((bq, hb, 128), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bq, cb, 128), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
                 pl.BlockSpec((1, bq), lambda i: (0, i)),
@@ -678,7 +726,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             in_specs=[
                 pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda i, j: (j, 0, 0)),
-                pl.BlockSpec((bq, hb, 128), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((bq, cb, 128), lambda i, j: (i, j, 0)),
                 row_spec(), row_spec(), row_spec(),
             ],
             out_specs=pl.BlockSpec((bq, d_pad), lambda i, j: (i, 0)),
@@ -695,7 +743,7 @@ def _vjp_bwd3(temperature, residuals, gl):
             in_specs=[
                 pl.BlockSpec((bq, d_pad), lambda j, i: (i, 0)),
                 pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),
-                pl.BlockSpec((bq, hb, 128), lambda j, i: (i, j, 0)),
+                pl.BlockSpec((bq, cb, 128), lambda j, i: (i, j, 0)),
                 xrow_spec(), xrow_spec(), xrow_spec(),
             ],
             out_specs=pl.BlockSpec((hb, 128, d_pad), lambda j, i: (j, 0, 0)),

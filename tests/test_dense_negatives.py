@@ -250,3 +250,75 @@ def test_fused_tiled_path_matches_reference(rng, monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
+
+
+def test_count_offsets_packed4_matches_unpacked(rng):
+    from mygenerativerecommenders_tpu.ops.dense_negatives import (
+        count_offsets_b,
+        count_offsets_packed4,
+    )
+
+    x, bt, r = 900, 9, 32  # 8 hi slices -> slices=8, one packed group x2
+    offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
+    sup = jnp.asarray(rng.integers(0, x, size=bt).astype(np.int32))
+    offs = offs.at[2, :3].set(sup[2])  # accidental hits fold into weights
+    slices, hb = 8, 8
+    packed = np.asarray(count_offsets_packed4(offs, sup, slices, hb))
+    assert packed.dtype == np.uint32 and packed.shape == (bt, 2, 128)
+    # unpack digit planes: digit j of group g holds slice j*(hb//4)+g
+    gb = hb // 4
+    got = np.zeros((bt, slices, 128), dtype=np.int64)
+    for j in range(4):
+        for g in range(gb):
+            got[:, j * gb + g] = (packed[:, g] >> (8 * j)) & 255
+    want = np.asarray(
+        count_offsets_b(offs, x, slices), dtype=np.int64
+    )
+    lane = np.arange(slices * 128).reshape(slices, 128)
+    want = want * (lane[None] != np.asarray(sup)[:, None, None])
+    np.testing.assert_array_equal(got, want)
+    # sentinel offsets count nothing
+    offs_s = offs.at[0, :].set(slices * 128)
+    packed_s = np.asarray(count_offsets_packed4(offs_s, sup, slices, hb))
+    assert (packed_s[0] == 0).all()
+
+
+def test_fused_packed_multiblock_matches_reference(rng):
+    """Catalog > one x-block with R <= 255: the u32 radix-256 packed count
+    path (hb=32 tiled blocks) must match the jnp reference in value and
+    grads."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mygenerativerecommenders_tpu.ops import dense_negatives
+    from mygenerativerecommenders_tpu.ops.pallas import dense_softmax
+
+    bt, d, x, r, t = 12, 10, 4500, 9, 0.06  # 36 lanes -> hb=32, n_j=2
+    assert dense_softmax.hi_blocks(x, packed=True) == (32, 2)
+    q = jnp.asarray(rng.normal(size=(bt, d)).astype(np.float32))
+    cat = jnp.asarray(rng.normal(size=(x, d)).astype(np.float32))
+    cat = cat / np.linalg.norm(cat, axis=-1, keepdims=True)
+    offs = jnp.asarray(rng.integers(0, x, size=(bt, r)).astype(np.int32))
+    sup = jnp.asarray(rng.integers(0, x, size=bt).astype(np.int32))
+    offs = offs.at[1, :2].set(sup[1])  # accidental hits
+
+    def run(use_pallas):
+        def f(q, cat):
+            lse = dense_negatives.sampled_softmax_dense_neg_lse(
+                q, cat, offs, sup, t, use_pallas=use_pallas
+            )
+            return (jnp.where(jnp.isfinite(lse), lse, 0.0) ** 2).sum(), lse
+
+        (loss, lse), grads = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True
+        )(q, cat)
+        return loss, lse, grads
+
+    want_loss, want_lse, want_grads = run(False)
+    with pltpu.force_tpu_interpret_mode():
+        got_loss, got_lse, got_grads = run(True)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse), rtol=1e-5)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for a, b in zip(got_grads, want_grads):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
