@@ -405,12 +405,23 @@ def _bwd_fused_kernel(
     inv_n: float,
     n_valid: int,
     has_seg: bool = False,
+    dtw_in_kernel: bool = True,
 ):
     if has_seg:
-        seg_ref, posb_ref, tsw_ref, dq_ref, dk_ref, dv_ref, dzh_ref = rest
+        seg_ref, rest = rest[0], rest[1:]
     else:
         seg_ref = None
-        posb_ref, tsw_ref, dq_ref, dk_ref, dv_ref, dzh_ref = rest
+    posb_ref, tsw_ref, dq_ref, dk_ref, dv_ref = rest[:5]
+    if dtw_in_kernel:
+        # dzh is VMEM scratch; both bias-table grads leave as stripes
+        dpw_ref, dtw_ref, dzh_ref = rest[5:]
+    else:
+        # short sequences: dzh leaves via HBM for the XLA d_ts_w einsum
+        # (cheap at small NP^2; the in-kernel sweep's serialized scalar
+        # reductions don't amortize there — measured 25.6k -> 18.8k
+        # ex/s on packed ml-1m at NP=256)
+        dzh_ref, dpw_ref = rest[5:]
+        dtw_ref = None
     qi = pl.program_id(1)
     h = pl.program_id(2)
     np_total = k_ref.shape[2]
@@ -442,6 +453,17 @@ def _bwd_fused_kernel(
     @pl.when(h == 0)
     def _init_dzh():
         dzh_ref[0] = jnp.zeros(dzh_ref.shape[1:], dzh_ref.dtype)
+
+    # the bias-table accumulators (constant block index: VMEM-resident
+    # for the WHOLE grid, summed over b, h, and every tile) zero once at
+    # the very first grid step
+    @pl.when(
+        jnp.logical_and(pl.program_id(0) == 0, jnp.logical_and(qi == 0, h == 0))
+    )
+    def _init_dpw():
+        dpw_ref[...] = jnp.zeros(dpw_ref.shape, dpw_ref.dtype)
+        if dtw_in_kernel:
+            dtw_ref[...] = jnp.zeros(dtw_ref.shape, dtw_ref.dtype)
 
     def body(kj, dq_blk):
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -494,6 +516,33 @@ def _bwd_fused_kernel(
         # head-summed dz accumulates across h (innermost grid dim, so the
         # dzh block stays resident between h steps)
         dzh_ref[0, :, sl] = dzh_ref[0, :, sl] + dz
+
+        # ---- d_pos_w in-kernel: the positional-bias gradient is the
+        # per-DIAGONAL sum of dz over every tile, batch, and head. Skew
+        # the tile so diagonals align into lanes (a log2(bq)-step barrel
+        # rotate: roll row r left by r), column-sum, and accumulate into
+        # the grid-resident [1, NP+BQ] stripe at this tile's 128-aligned
+        # lane offset. Replaces an XLA Kronecker-one-hot einsum over the
+        # [NP, NP] dz sum that cost ~2.4 ms/block at NP=1152 (~40% of the
+        # long-N step together with d_ts_w, PERFORMANCE.md r3). Element
+        # dz[r, c] is diagonal d = c - r + (kj*bk - qi*bq); it lands at
+        # skew lane u = c - r + bq in [1, bq+bk), so stripe index
+        # np_total + d = base + u with base = np_total + kj*bk - qi*bq
+        # - bq — a multiple of 128 by construction.
+        ws = bq + bk
+        sk = jnp.concatenate(
+            [jnp.zeros((bq, bq), dtype=jnp.float32), dz], axis=1
+        )  # [bq, ws]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ws), 0)
+        shift = 1
+        while shift < bq:
+            rolled = jnp.roll(sk, -shift, axis=1)
+            sk = jnp.where((r_iota & shift) != 0, rolled, sk)
+            shift *= 2
+        colsum = jnp.sum(sk, axis=0, keepdims=True)  # [1, ws]
+        # single trailing *bk so Mosaic can prove 128-divisibility
+        base = (np_total // bk + kj - (qi + 1) * (bq // bk)) * bk
+        dpw_ref[:, pl.ds(base, ws)] = dpw_ref[:, pl.ds(base, ws)] + colsum
         return dq_blk
 
     # live tile range, exactly as the forward: key blocks <= the causal
@@ -510,6 +559,63 @@ def _bwd_fused_kernel(
         kj_lo, n_kj, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
     )
     dq_ref[0] = dq
+
+    # ---- d_ts_w in-kernel: after the LAST head (h innermost, so the
+    # dzh scratch now holds this (b, qi) row-block's head-summed dz),
+    # sweep each live tile's OCCURRING bucket range and accumulate
+    # sum(dz * [bucket == t]) into the grid-resident [1, 256] stripe.
+    # Buckets are log-scaled in the time delta, so a 128x128 tile of a
+    # sorted-timestamp sequence spans only a handful of bucket values
+    # (far tiles ~1-2, near-diagonal tiles ~10-30) — the dynamic
+    # [bmin, bmax] trip count makes the sweep pay per OCCURRING value,
+    # not per possible value. Dead entries hold dz == 0 (contribute
+    # nothing to the sums) and are excluded from the range so padded
+    # timestamps cannot widen it. Replaces an XLA Kronecker-one-hot
+    # einsum over the [B, NP, NP] head-summed dz that cost ~1.3 ms/block
+    # at ml-20m-long shapes — and with it the only consumer of dzh in
+    # HBM, so the [B, NP, NP] buffer is now kernel scratch.
+    if dtw_in_kernel:
+        num_heads = k_ref.shape[1]
+
+        @pl.when(h == num_heads - 1)
+        def _dtw_sweep():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, dtw_ref.shape[1]), 1)
+
+            def tile_sweep(kj, carry):
+                sl = pl.ds(kj * bk, bk)
+                dz_t = dzh_ref[0, :, sl]
+                tsk = tsk_ref[0, 0, sl].astype(jnp.int32)
+                bucket = bucketize_timedelta(
+                    tsq[:, None] - tsk[None, :], num_buckets
+                )
+                col_ids = kj * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk), 1
+                )
+                live = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
+                live = jnp.logical_and(live, row_ids < seq_len)
+                if has_seg:
+                    live = jnp.logical_and(live, col_ids >= seg_start_q[:, None])
+                bmin = jnp.min(jnp.where(live, bucket, num_buckets + 1))
+                bmax = jnp.max(jnp.where(live, bucket, -1))
+
+                # 8 bucket values per iteration: the 8 masked sums are
+                # independent (ILP hides the scalar-reduce latency that
+                # dominated a 1-value-per-iteration loop)
+                def bucket_body(i8, c):
+                    t0 = bmin + i8 * 8
+                    upd = jnp.zeros((1, dtw_ref.shape[1]), jnp.float32)
+                    for kk in range(8):
+                        t = t0 + kk
+                        s = jnp.sum(jnp.where(bucket == t, dz_t, 0.0))
+                        upd = upd + s * (lane == t).astype(jnp.float32)
+                    dtw_ref[...] = dtw_ref[...] + upd
+                    return c
+
+                n8 = (bmax + 1 - bmin + 7) // 8
+                jax.lax.fori_loop(0, n8, bucket_body, 0)
+                return carry
+
+            jax.lax.fori_loop(kj_lo, n_kj, tile_sweep, 0)
 
 
 # d_ts_w radix factors: bucket = _DTW_HI_RADIX-ary high digit x low digit,
@@ -661,40 +767,76 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     ])
     inputs.extend([pos_bias, ts_w_2d])
 
-    dqf, dk4, dv4, dzh = pl.pallas_call(
+    w_acc = np_total + bq
+    w_tw = _round_up(num_buckets + 1, 128)
+    # in-kernel d_ts_w pays off once the XLA einsum's NP^2-shaped reduce
+    # dominates (long sequences); at short NP the sweep's serialized
+    # scalar reductions cost more than the einsum saves
+    dtw_in_kernel = np_total >= 512
+    out_specs = [
+        pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+        pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, np_total, d_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, np_total, d_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, np_total, dv_pad), jnp.float32),
+    ]
+    dpw_spec = pl.BlockSpec((1, w_acc), lambda bi, qi, hi, lens: (0, 0))
+    dpw_shape = jax.ShapeDtypeStruct((1, w_acc), jnp.float32)
+    scratch_shapes = []
+    if dtw_in_kernel:
+        out_specs += [
+            dpw_spec,
+            pl.BlockSpec((1, w_tw), lambda bi, qi, hi, lens: (0, 0)),
+        ]
+        out_shape += [dpw_shape, jax.ShapeDtypeStruct((1, w_tw), jnp.float32)]
+        # head-summed dz for the current (b, qi) row block — pure VMEM
+        # scratch when both bias-table gradients leave as stripes (was a
+        # [B, NP, NP] HBM output: 170 MB/block of write+read traffic at
+        # ml-20m-long)
+        scratch_shapes = [pltpu.VMEM((1, bq, np_total), jnp.float32)]
+    else:
+        out_specs += [
+            pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, lens: (bi, qi, 0)),
+            dpw_spec,
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, np_total, np_total), jnp.float32),
+            dpw_shape,
+        ]
+    outs = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel,
             bq=bq, bk=bk, num_buckets=num_buckets,
             inv_n=1.0 / max_len, n_valid=n, has_seg=has_seg,
+            dtw_in_kernel=dtw_in_kernel,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[
-                pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
-                pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-                pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-                pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, lens: (bi, qi, 0)),
-            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, np_total, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, np_total, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, np_total, dv_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, np_total, np_total), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=5 * b * h * n * n * (pr["dqk"] + pr["dv"]),
-            bytes_accessed=4 * b * np_total * np_total,
+            bytes_accessed=4 * b * h * n * (2 * pr["dqk"] + 2 * pr["dv"]),
             transcendentals=b * h * n * n,
         ),
     )(*inputs)
-    # dzh is already head-summed in-kernel; ts rows are per-b (stride h)
-    dtw_out = _dtw_from_dz(dzh, tsq_b, tsk_b, num_buckets)
+    if dtw_in_kernel:
+        dqf, dk4, dv4, dpw_acc, dtw_acc = outs
+        dtw_out = dtw_acc[0, : num_buckets + 1]
+    else:
+        dqf, dk4, dv4, dzh, dpw_acc = outs
+        # dzh is already head-summed in-kernel; ts rows are per-b
+        dtw_out = _dtw_from_dz(dzh, tsq_b, tsk_b, num_buckets)
 
     def unfold(x, d):
         return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
@@ -703,21 +845,19 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     dk = unfold(dk4.reshape(b * h, np_total, d_pad), pr["dqk"]).astype(k.dtype)
     dv = unfold(dv4.reshape(b * h, np_total, dv_pad), pr["dv"]).astype(v.dtype)
 
-    # d_pos_w via the same Kronecker one-hot contraction as d_ts_w: the
-    # diagonal segment-sum becomes (dz_sum·oh_hi)^T @ oh_lo on the MXU
-    i = jnp.arange(np_total)[:, None]
-    j = jnp.arange(np_total)[None, :]
-    pos_idx = jnp.clip((j - i) + (max_len - 1), 0, 2 * max_len - 2)
+    # d_pos_w from the kernel's diagonal-sum stripe: stripe index w holds
+    # diagonal d = w - np_total, table index t = d + max_len - 1. Stripe
+    # entries outside the table window are provably zero (positions past
+    # +-(max_len-1) are cross-segment or causally dead), matching the old
+    # clipped-index einsum.
     table = 2 * max_len - 1
-    lo_r = 128
-    n_hi = (table + lo_r - 1) // lo_r
-    oh_hi = (pos_idx[..., None] // lo_r == jnp.arange(n_hi)).astype(jnp.bfloat16)
-    oh_lo = (pos_idx[..., None] % lo_r == jnp.arange(lo_r)).astype(jnp.bfloat16)
-    dz_sum = dzh.sum(axis=0)  # [NP, NP]
-    dpw = jnp.einsum(
-        "nm,nmh,nml->hl", dz_sum, oh_hi, oh_lo,
-        preferred_element_type=jnp.float32,
-    ).reshape(-1)[:table]
+    w_lo = max(1, np_total - max_len + 1)
+    w_hi = min(w_acc, np_total + max_len - 1)
+    t_lo = w_lo - np_total + max_len - 1
+    dpw = jnp.zeros((table,), jnp.float32)
+    dpw = jax.lax.dynamic_update_slice(
+        dpw, dpw_acc[0, w_lo:w_hi], (t_lo,)
+    )
     return dq, dk, dv, dpw, dtw_out
 
 
