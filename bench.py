@@ -307,7 +307,7 @@ def bench_long_n_bucketed(users=2048):
     return users / dt
 
 
-def bench_packed_ml1m(users=4096, calls=4, steps_per_call=8,
+def bench_packed_ml1m(users=4096, calls=4, steps_per_call=32,
                       shared_negatives=False):
     """The ml-1m parity recipe fed PACKED (data/packing.py): best-fit
     packs ~2.3 mean-111 segments per 256-token row, so a 128-example
@@ -318,7 +318,12 @@ def bench_packed_ml1m(users=4096, calls=4, steps_per_call=8,
     shared_negatives=True stacks the opt-in shared-negatives fast path
     (R=1024, the PARITY-banded configuration) on top — the two
     optimizations compose: 39.6k ex/s/chip measured vs 12.9k padded
-    parity (3.1x)."""
+    parity (3.1x).
+
+    steps_per_call=32 mirrors the trainer.steps_per_call config
+    (quality-neutral — per-step RNG keys derive from the global step
+    index; validated r3) so the axon tunnel's ~7 ms/dispatch host gap
+    amortizes the way a production run would."""
     import jax
 
     from mygenerativerecommenders_tpu.configs import resolve

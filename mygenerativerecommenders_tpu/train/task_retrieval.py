@@ -143,6 +143,23 @@ def make_loss_fn(
         len(all_item_ids), dtype=np.int32
     )
     id_to_offset = id_to_offset_np  # numpy on purpose (see catalog note)
+    # contiguous catalogs (ml-1m: ids 1..X) map with arithmetic instead
+    # of a [B*T]-gather (XLA gathers cost ~0.1 ms/step at ml-1m shapes)
+    _ids_np = np.asarray(all_item_ids)
+    _contig_start = (
+        int(_ids_np[0])
+        if len(_ids_np) > 0
+        and int(_ids_np[-1]) - int(_ids_np[0]) + 1 == len(_ids_np)
+        and bool(np.all(np.diff(_ids_np) == 1))
+        else None
+    )
+    num_catalog = len(_ids_np)
+
+    def ids_to_offsets(sup_ids: jax.Array) -> jax.Array:
+        if _contig_start is not None:
+            off = sup_ids.astype(jnp.int32) - _contig_start
+            return jnp.where((off >= 0) & (off < num_catalog), off, -1)
+        return jnp.take(id_to_offset, jnp.clip(sup_ids, 0, None), axis=0)
 
     def encode_for_loss(params: Any, batch: Dict[str, jax.Array], rng: jax.Array):
         """Shared preamble of every retrieval loss variant: target scatter
@@ -212,7 +229,7 @@ def make_loss_fn(
             neg_offsets, neg_emb = sampler.sample_offsets(
                 neg_rng, sup_ids, num_neg, norm_catalog
             )
-            sup_offsets = jnp.take(id_to_offset, jnp.clip(sup_ids, 0, None), axis=0)
+            sup_offsets = ids_to_offsets(sup_ids)
             hits = sup_offsets[..., None] == neg_offsets
             neg_ids = None  # ids never materialized on the hot path
 
@@ -249,7 +266,7 @@ def make_loss_fn(
         neg_offsets = sampler.offsets_only(
             neg_rng, sup_ids, loss_cfg.num_to_sample, norm_catalog.shape[0]
         )
-        sup_offsets = jnp.take(id_to_offset, jnp.clip(sup_ids, 0, None), axis=0)
+        sup_offsets = ids_to_offsets(sup_ids)
 
         t = loss_cfg.temperature
         pos_emb = sampler.normalize_embeddings(sup_emb)
