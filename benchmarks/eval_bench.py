@@ -69,8 +69,25 @@ def run(num_items: int = 3952, emit=print) -> dict:
         ids, scores = eval_step(params, dev, candidates)
     float(scores.sum())
     dt = time.perf_counter() - t0
-    _emit("eval_step_queries_per_sec", round(b * n / dt, 1),
-          f"q/s (X={num_items}, fwd+filtered top-200)")
+    _emit("eval_step_single_dispatch_queries_per_sec", round(b * n / dt, 1),
+          f"q/s (X={num_items}, fwd+filtered top-200, 1 batch/dispatch)")
+
+    # sustained eval: k batches per device call (driver eval-loop shape,
+    # trainer.steps_per_call) — the per-dispatch tunnel latency (~1.6 ms)
+    # otherwise dominates the ~1.1 ms device step
+    ksteps = 8
+    eval_step_k = make_eval_step(model, cfg, all_ids, num_items, steps=ksteps)
+    import jax.numpy as _jnp
+    stacked = {kk: _jnp.stack([dev[kk]] * ksteps) for kk in dev}
+    ids_k, scores_k = eval_step_k(params, stacked, candidates)
+    float(scores_k.sum())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        ids_k, scores_k = eval_step_k(params, stacked, candidates)
+    float(scores_k.sum())
+    dt = time.perf_counter() - t0
+    _emit("eval_step_queries_per_sec", round(b * ksteps * n / dt, 1),
+          f"q/s (X={num_items}, fwd+filtered top-200, {ksteps} batches/dispatch)")
 
     # raw MIPS top-k only
     queries = jax.device_put(

@@ -236,6 +236,22 @@ class Trainer:
                 self.model, cfg, self.all_item_ids, self.data.max_item_id,
                 mesh=self.mesh,
             )
+            # batched eval (trainer.steps_per_call batches per dispatch):
+            # per-dispatch host latency dominates the ~ms-scale eval step
+            # (see benchmarks/eval_bench.py); the sharded-index path keeps
+            # per-batch dispatch (its collectives are the long pole)
+            k_eval = max(int(cfg.trainer.steps_per_call), 1)
+            self.eval_step_many = (
+                task_retrieval.make_eval_step(
+                    self.model, cfg, self.all_item_ids, self.data.max_item_id,
+                    steps=k_eval,
+                )
+                if k_eval > 1
+                and jax.process_count() == 1
+                and not task_retrieval.index_sharded_on(cfg)
+                else None
+            )
+            self.eval_steps_per_call = k_eval if self.eval_step_many else 1
             self.candidate_fn = task_retrieval.make_candidate_fn(
                 self.model, cfg, self.all_item_ids, mesh=self.mesh,
             )
@@ -642,11 +658,40 @@ class Trainer:
         else:
             candidates = self.candidate_fn(self.params)
             all_topk, all_targets = [], []
+            k_eval = getattr(self, "eval_steps_per_call", 1)
+            chunk: list = []
+
+            def _flush(chunk):
+                if not chunk:
+                    return
+                if len(chunk) == k_eval and k_eval > 1:
+                    # one dispatch scans the stacked chunk (per-dispatch
+                    # host latency dominates the device-side eval step)
+                    stacked = {
+                        key: jnp.stack([dv[key] for _, dv in chunk])
+                        for key in chunk[0][1]
+                    }
+                    ids_k, _ = self.eval_step_many(
+                        self.params, stacked, candidates
+                    )
+                    ids_k = np.asarray(ids_k)
+                    for i, (hb, _) in enumerate(chunk):
+                        valid = hb["sample_weight"] > 0
+                        all_topk.append(ids_k[i][valid])
+                        all_targets.append(hb["target_id"][valid])
+                    return
+                for hb, dv in chunk:
+                    top_ids, _ = self.eval_step(self.params, dv, candidates)
+                    valid = hb["sample_weight"] > 0
+                    all_topk.append(self._local_rows(top_ids)[valid])
+                    all_targets.append(hb["target_id"][valid])
+
             for batch, dev_batch in self._batches(loader, limit):
-                top_ids, _ = self.eval_step(self.params, dev_batch, candidates)
-                valid = batch["sample_weight"] > 0
-                all_topk.append(self._local_rows(top_ids)[valid])
-                all_targets.append(batch["target_id"][valid])
+                chunk.append((batch, dev_batch))
+                if len(chunk) == k_eval:
+                    _flush(chunk)
+                    chunk = []
+            _flush(chunk)
             top_k_ids = self._gather_rows(np.concatenate(all_topk, axis=0))
             target_ids = self._gather_rows(np.concatenate(all_targets, axis=0))[
                 :, None

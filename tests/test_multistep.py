@@ -141,3 +141,26 @@ def test_driver_multi_matches_single_examples(tmp_path):
             np.testing.assert_array_equal(a, b)
     finally:
         trainer.close()
+
+
+def test_driver_batched_eval_matches_per_batch(tmp_path):
+    """eval_epoch with steps_per_call>1 (stacked-batch dispatch incl. a
+    remainder chunk) must produce exactly the per-batch metrics."""
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    def results_for(k):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out{k}")
+        cfg.trainer.steps_per_call = k
+        trainer = Trainer(cfg)
+        try:
+            return trainer.eval_epoch(trainer.data.loader("val"))
+        finally:
+            trainer.close()
+
+    base = results_for(1)
+    batched = results_for(3)  # odd k -> remainder chunk takes per-batch path
+    assert base.keys() == batched.keys()
+    for key in base:
+        np.testing.assert_allclose(batched[key], base[key], rtol=1e-6)
