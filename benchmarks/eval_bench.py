@@ -104,6 +104,53 @@ def run(num_items: int = 3952, emit=print) -> dict:
     _emit("mips_topk_queries_per_sec", round(b * n / dt, 1),
           f"q/s (X={num_items}, k=200)")
 
+    # PACKED eval: history-only segment packing, per-segment query +
+    # filter (data/packing.py include_target=False) — ~2.3 segments per
+    # 256-token row at ml-1m lengths, so each dispatch evaluates ~2.3x
+    # the queries of a padded batch
+    from mygenerativerecommenders_tpu.data.packing import PackedBatchLoader
+    from mygenerativerecommenders_tpu.data.dataset import SequenceDataset
+    from mygenerativerecommenders_tpu.train.task_retrieval import (
+        make_packed_eval_step,
+    )
+
+    users = 2048
+    rng_np = np.random.default_rng(0)
+    lens_np = rng_np.integers(20, 200, size=users).astype(np.int32)
+    ids_np = np.zeros((users, 200), dtype=np.int32)
+    ts_np = np.zeros((users, 200), dtype=np.int32)
+    for i, nn_ in enumerate(lens_np):
+        ids_np[i, :nn_] = rng_np.integers(1, num_items, size=nn_)
+        ts_np[i, :nn_] = np.sort(978_000_000 + rng_np.integers(0, 10**8, size=nn_))
+    ds = SequenceDataset(
+        lengths=lens_np, ids=ids_np, ratings=np.ones_like(ids_np),
+        timestamps=ts_np,
+        target_id=rng_np.integers(1, num_items, size=users).astype(np.int32),
+        target_rating=np.ones(users, dtype=np.int32),
+        target_timestamp=(ts_np.max(axis=1) + 100).astype(np.int32),
+        user_ids=np.arange(users), additional={},
+    )
+    mean_seg = float(lens_np.mean() + 1)
+    rows = max(1, round(b * mean_seg / 256))
+    ploader = PackedBatchLoader(
+        ds, rows_per_batch=rows, row_capacity=256,
+        segments_per_batch=b, include_target=False,
+    )
+    pstep = make_packed_eval_step(model, cfg, all_ids, num_items)
+    pbatches = [jax.device_put(pb) for pb in ploader]
+    n_seg_total = int(sum(float(pb["seg_weight"].sum()) for pb in pbatches))
+    out = [pstep(params, pb, candidates) for pb in pbatches]
+    float(out[-1][1].sum())
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        for pb in pbatches:
+            out = pstep(params, pb, candidates)
+    float(out[1].sum())
+    dt = time.perf_counter() - t0
+    _emit("eval_packed_queries_per_sec", round(n_seg_total * reps / dt, 1),
+          f"q/s (X={num_items}, packed {rows}x256 rows, per-segment top-200)")
+
     # int8 pre-ranked eval step (index.quantize=int8 serving fast path)
     import copy
 

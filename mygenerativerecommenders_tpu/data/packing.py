@@ -115,7 +115,22 @@ class PackedBatchLoader:
         capacities=None,  # ascending list; None -> [row_capacity]
         row_multiple: int = 1,  # per-batch row counts rounded up to this
         segments_per_batch=None,  # target EXAMPLES per batch (any class)
+        include_target: bool = True,  # False = EVAL packing (see below)
     ):
+        """include_target=False packs HISTORY-ONLY segments (no inline
+        target token) for the eval/predict path and additionally emits
+        per-SEGMENT fields sized [S_cap] (a static per-capacity-class
+        bound computed from the epoch-0 plan; eval never shuffles, so
+        every epoch reuses that plan):
+
+          seg_last_flat    [S_cap] flat (row*cap + col) index of each
+                           segment's LAST token (the retrieval query)
+          seg_target       [S_cap] held-out target id (0 = padding slot)
+          seg_weight       [S_cap] the example's sample weight (0 = pad)
+          seg_invalid_ids  [S_cap, cap] the segment's own ids, 0-padded
+                           (the per-query top-k filter list — packed
+                           rows must NOT filter by their neighbors' ids)
+        """
         self.dataset = dataset
         self.rows_per_batch = rows_per_batch
         self.row_capacity = row_capacity
@@ -125,11 +140,18 @@ class PackedBatchLoader:
         self.seed = seed
         self.process_index = process_index
         self.process_count = process_count
+        self.include_target = include_target
         self.epoch = 0
 
         ds = dataset
         u, l_hist = ds.ids.shape
-        self.seg_lens = ds.lengths.astype(np.int64) + 1  # history + target
+        # both modes reserve one slot past the history: train puts the
+        # TARGET there; eval puts an inert id-0 token carrying the target
+        # TIMESTAMP (the attention's next-item timestamp for the query
+        # position — the packed analog of the unpacked eval path's
+        # target-timestamp scatter; an id-0 token has a zero embedding
+        # and sits after the query causally, so it contributes nothing)
+        self.seg_lens = ds.lengths.astype(np.int64) + 1
         if int(self.seg_lens.max(initial=0)) > self.capacities[-1]:
             raise ValueError(
                 f"pack row_capacity {self.capacities[-1]} < longest segment "
@@ -166,10 +188,30 @@ class PackedBatchLoader:
             out[np.arange(u), ds.lengths] = target
             return out
 
-        self._ids_ext = ext(ds.ids, ds.target_id)
-        self._ratings_ext = ext(ds.ratings, ds.target_rating)
+        if include_target:
+            self._ids_ext = ext(ds.ids, ds.target_id)
+            self._ratings_ext = ext(ds.ratings, ds.target_rating)
+        else:
+            pad1 = lambda t: np.pad(t.astype(np.int32), ((0, 0), (0, 1)))
+            self._ids_ext = pad1(ds.ids)
+            self._ratings_ext = pad1(ds.ratings)
         self._ts_ext = ext(ds.timestamps, ds.target_timestamp)
         self._plans: Dict[int, List[np.ndarray]] = {}
+        if not include_target:
+            # static per-class segment-slot bound from the (deterministic)
+            # plan: eval iterates the same plan every epoch
+            self.seg_cap = {}
+            for cap, bp in self._plan(0):
+                counts = np.bincount(
+                    bp[:, 1] % max(1, process_count),
+                    minlength=max(1, process_count),
+                )
+                self.seg_cap[cap] = max(
+                    self.seg_cap.get(cap, 1), int(counts.max(initial=1))
+                )
+            # seg arrays shard over the mesh data axis like rows do
+            for cap in self.seg_cap:
+                self.seg_cap[cap] = -(-self.seg_cap[cap] // m) * m
 
     def _plan(self, epoch: int) -> List[tuple]:
         """Per-epoch packing plan: list of (capacity, rows, [S, 2] array
@@ -213,7 +255,7 @@ class PackedBatchLoader:
             mine = (grow % pc) == pi
             examples, grow = examples[mine], grow[mine] // pc
         if len(examples) == 0:  # tail batch with no rows for this process
-            return {
+            empty = {
                 "ids": np.zeros((p, l_cap), dtype=np.int32),
                 "ratings": np.zeros((p, l_cap), dtype=np.int32),
                 "timestamps": np.zeros((p, l_cap), dtype=np.int32),
@@ -222,6 +264,15 @@ class PackedBatchLoader:
                 "lengths": np.zeros(p, dtype=np.int32),
                 "num_segments": np.zeros(p, dtype=np.int32),
             }
+            if not self.include_target:
+                s_cap = self.seg_cap[cap]
+                empty.update(
+                    seg_last_flat=np.zeros(s_cap, dtype=np.int32),
+                    seg_target=np.zeros(s_cap, dtype=np.int32),
+                    seg_weight=np.zeros(s_cap, dtype=np.float32),
+                    seg_invalid_ids=np.zeros((s_cap, l_cap), dtype=np.int32),
+                )
+            return empty
         # best-fit rows are not stream-ordered: group entries by row
         # (stable — arrival order within a row is preserved) so the
         # cumulative-offset logic below sees contiguous row runs
@@ -262,6 +313,31 @@ class PackedBatchLoader:
         }
         np.add.at(batch["lengths"], tok_row, 1)
         np.add.at(batch["num_segments"], grow, 1)
+        if not self.include_target:
+            s_cap = self.seg_cap[cap]
+            n_seg = len(examples)
+            assert n_seg <= s_cap, (n_seg, s_cap)
+            seg_last_flat = np.zeros(s_cap, dtype=np.int32)
+            # the query = each segment's last HISTORY token (the final
+            # slot is the inert target-timestamp carrier)
+            seg_last_flat[:n_seg] = (
+                grow * l_cap + offsets + np.maximum(seg_lens - 2, 0)
+            ).astype(np.int32)
+            seg_target = np.zeros(s_cap, dtype=np.int32)
+            seg_target[:n_seg] = self.dataset.target_id[examples]
+            seg_weight = np.zeros(s_cap, dtype=np.float32)
+            seg_weight[:n_seg] = 1.0
+            seg_invalid = np.zeros(s_cap * l_cap, dtype=np.int32)
+            tok_seg = np.repeat(np.arange(n_seg, dtype=np.int64), seg_lens)
+            seg_invalid[tok_seg * l_cap + tok_pos] = self._ids_ext[
+                tok_ex, tok_pos
+            ]
+            batch.update(
+                seg_last_flat=seg_last_flat,
+                seg_target=seg_target,
+                seg_weight=seg_weight,
+                seg_invalid_ids=seg_invalid.reshape(s_cap, l_cap),
+            )
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

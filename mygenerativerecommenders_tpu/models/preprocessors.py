@@ -134,7 +134,18 @@ class LearnablePositionalEmbeddingRatedPreprocessor(InputPreprocessor):
         combined = jnp.concatenate(
             [past_embeddings, jnp.take(rating_table, ratings, axis=0)], axis=-1
         )
-        user_embeddings = combined * (d_total**0.5) + pos_emb[None, :n, :]
+        positions = past_payloads.get("positions")
+        if positions is not None:
+            # PACKED rows: within-segment positions ride as a payload
+            # (see LearnablePositionalEmbeddingPreprocessor)
+            pos = jnp.take(
+                pos_emb,
+                jnp.clip(positions.astype(jnp.int32), 0, self.max_sequence_len - 1),
+                axis=0,
+            )
+        else:
+            pos = pos_emb[None, :n, :]
+        user_embeddings = combined * (d_total**0.5) + pos
         user_embeddings = nn.Dropout(rate=self.dropout_rate)(
             user_embeddings, deterministic=deterministic
         )
@@ -281,13 +292,33 @@ class CombinedItemAndRatingPreprocessor(InputPreprocessor):
             _trunc_normal_inv_sqrt_dim(self.embedding_dim),
             (self.max_sequence_len * 2, self.embedding_dim),
         )
-        user_embeddings = interleaved + pos_emb[None, : n * 2, :]
+        positions = past_payloads.get("positions")
+        if positions is not None:
+            # PACKED rows: within-segment positions ride as a payload.
+            # Token j doubles into slots (2j, 2j+1); its doubled
+            # within-segment position is (2p_j, 2p_j + 1) — segments
+            # stay contiguous, so the block-diagonal attention mask and
+            # the positional gather both remain exact after doubling.
+            p2 = 2 * positions.astype(jnp.int32)
+            pos_idx = jnp.stack([p2, p2 + 1], axis=2).reshape(b, n * 2)
+            pos = jnp.take(
+                pos_emb,
+                jnp.clip(pos_idx, 0, self.max_sequence_len * 2 - 1),
+                axis=0,
+            )
+        else:
+            pos = pos_emb[None, : n * 2, :]
+        user_embeddings = interleaved + pos
         user_embeddings = nn.Dropout(rate=self.dropout_rate)(
             user_embeddings, deterministic=deterministic
         )
 
         payloads = dict(past_payloads)
         payloads["timestamps"] = jnp.repeat(payloads["timestamps"], 2, axis=1)
+        if positions is not None:
+            payloads["positions"] = pos_idx
+        if "seg_ids" in payloads:
+            payloads["seg_ids"] = jnp.repeat(payloads["seg_ids"], 2, axis=1)
 
         valid_mask = (
             jnp.repeat(past_ids != 0, 2, axis=1)[:, :, None]

@@ -226,8 +226,6 @@ class Trainer:
         self._multi_step_cache: Dict[int, Any] = {}
         self.task = cfg.model.task
         self._packed = bool(cfg.data.pack_sequences)
-        if self._packed and self.task != "retrieval":
-            raise ValueError("data.pack_sequences supports the retrieval task only")
         if self.task == "retrieval":
             self.train_step = task_retrieval.make_train_step(
                 self.model, cfg, self.all_item_ids, packed=self._packed
@@ -255,10 +253,27 @@ class Trainer:
             self.candidate_fn = task_retrieval.make_candidate_fn(
                 self.model, cfg, self.all_item_ids, mesh=self.mesh,
             )
+            # packed EVAL: history-only segment packing with per-segment
+            # top-k (exact vs unpacked, tests/test_packing.py); the
+            # sharded-index path keeps the unpacked eval step
+            self._eval_packed = (
+                self._packed and not task_retrieval.index_sharded_on(cfg)
+            )
+            self.packed_eval_step = (
+                task_retrieval.make_packed_eval_step(
+                    self.model, cfg, self.all_item_ids, self.data.max_item_id
+                )
+                if self._eval_packed
+                else None
+            )
         elif self.task == "ranking":
             from mygenerativerecommenders_tpu.train import task_ranking
 
-            self.train_step = task_ranking.make_train_step(self.model, cfg)
+            self.train_step = task_ranking.make_train_step(
+                self.model, cfg, packed=self._packed
+            )
+            # ranking eval stays UNPACKED (per-example last-position class
+            # probabilities; packing only accelerates training)
             self.eval_step = task_ranking.make_eval_step(self.model, cfg)
             self.candidate_fn = None
         else:
@@ -431,7 +446,9 @@ class Trainer:
             else:
                 from mygenerativerecommenders_tpu.train import task_ranking
 
-                fn = task_ranking.make_train_step(self.model, self.cfg, steps=k)
+                fn = task_ranking.make_train_step(
+                    self.model, self.cfg, steps=k, packed=self._packed
+                )
             self._multi_step_cache[k] = fn
         return self._multi_step_cache[k]
 
@@ -450,7 +467,9 @@ class Trainer:
 
     def _loader(self, split: str, packed: bool = False):
         """Split loader sharded by process (multi-host data parallelism).
-        packed=True (train only) returns the PackedBatchLoader."""
+        packed=True returns the PackedBatchLoader — train batches carry
+        inline targets; eval splits pack history-only segments with
+        per-segment query/target/filter fields (include_target=False)."""
         proc_idx, proc_cnt = self._loader_sharding()
         if packed:
             from mygenerativerecommenders_tpu.data.packing import (
@@ -489,6 +508,7 @@ class Trainer:
                 # every class emits ~batch_size-example batches, matching
                 # the unpacked recipe's step semantics
                 segments_per_batch=(0 if d.pack_rows else d.batch_size),
+                include_target=(split == "train"),
             )
         return self.data.loader(
             split, process_index=proc_idx, process_count=proc_cnt,
@@ -655,6 +675,26 @@ class Trainer:
                 self._gather_rows(np.concatenate(all_targets, axis=0)),
                 num_classes=self.cfg.model.preprocessor.num_ratings,
             )
+        elif getattr(self, "_eval_packed", False) and getattr(
+            loader, "include_target", True
+        ) is False:
+            # PACKED eval: one query per segment, per-segment filter
+            candidates = self.candidate_fn(self.params)
+            all_topk, all_targets = [], []
+            for batch, dev_batch in self._batches(loader, limit):
+                ids, _, _, _ = self.packed_eval_step(
+                    self.params, dev_batch, candidates
+                )
+                valid = batch["seg_weight"] > 0
+                all_topk.append(self._local_rows(ids)[valid])
+                all_targets.append(batch["seg_target"][valid])
+            top_k_ids = self._gather_rows(np.concatenate(all_topk, axis=0))
+            target_ids = self._gather_rows(
+                np.concatenate(all_targets, axis=0)
+            )[:, None]
+            results = retrieval_metrics(
+                top_k_ids, target_ids, self.cfg.model.metrics.at_k_list
+            )
         else:
             candidates = self.candidate_fn(self.params)
             all_topk, all_targets = [], []
@@ -711,7 +751,9 @@ class Trainer:
         cfg, t = self.cfg, self.cfg.trainer
         monitor_key = t.monitor.split("/", 1)[1] if "/" in t.monitor else t.monitor
         train_loader = self._loader("train", packed=self._packed)
-        val_loader = self._loader("val")
+        val_loader = self._loader(
+            "val", packed=getattr(self, "_eval_packed", False)
+        )
         if t.ckpt_path:
             self.restore(t.ckpt_path)
         last_results: Dict[str, float] = {}
@@ -756,7 +798,10 @@ class Trainer:
                 str(path), {"params": self.params, "opt_state": self.opt_state}
             )["params"]
             log.info(f"loaded checkpoint {path}")
-        return self.eval_epoch(self._loader("test"), "test")
+        return self.eval_epoch(
+            self._loader("test", packed=getattr(self, "_eval_packed", False)),
+            "test",
+        )
 
     def predict(self) -> Dict[str, list]:
         if self.task != "retrieval":

@@ -30,20 +30,49 @@ from mygenerativerecommenders_tpu.train.task_retrieval import (
 from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
 
 
-def make_loss_fn(model: GenerativeRecommender, cfg: Config) -> Callable:
+def make_loss_fn(
+    model: GenerativeRecommender, cfg: Config, packed: bool = False
+) -> Callable:
+    """packed=True consumes PackedBatchLoader batches: targets (id AND
+    rating) are already inline as each segment's last token, so there is
+    no scatter; supervision covers every packed token (id != 0), exactly
+    the unpacked per-example term set. The combined item+rating
+    preprocessor doubles packed rows the same way it doubles padded rows
+    (positions interleave to (2p, 2p+1), seg_ids repeat) and the aux
+    compaction maps the encoder output back to item slots."""
+    if packed and cfg.model.preprocessor.kind not in (
+        "learnable_positional",
+        "learnable_positional_rated",
+        "combined_item_and_rating",
+    ):
+        raise ValueError(
+            "data.pack_sequences with model.task=ranking requires a "
+            "preprocessor that models packed positions (learnable_"
+            "positional, learnable_positional_rated, or combined_item_"
+            "and_rating)"
+        )
     sampler = make_sampler(cfg)
     t = cfg.model.loss.temperature
     max_out = cfg.model.gr_output_length + 1
 
     def loss_fn(params: Any, batch: Dict[str, jax.Array], rng: jax.Array) -> jax.Array:
-        seq, target_ids, target_ratings = seq_features_from_batch(batch, max_out)
-        past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
-        ratings = scatter_at_lengths(
-            seq.past_payloads["ratings"], seq.past_lengths, target_ratings
-        )
-        payloads = dict(seq.past_payloads)
-        payloads["ratings"] = ratings
-        seq = seq._replace(past_ids=past_ids, past_payloads=payloads)
+        if packed:
+            from mygenerativerecommenders_tpu.utils.features import (
+                packed_seq_features,
+            )
+
+            seq = packed_seq_features(batch)
+            past_ids = seq.past_ids
+            ratings = seq.past_payloads["ratings"]
+        else:
+            seq, target_ids, target_ratings = seq_features_from_batch(batch, max_out)
+            past_ids = scatter_at_lengths(seq.past_ids, seq.past_lengths, target_ids)
+            ratings = scatter_at_lengths(
+                seq.past_payloads["ratings"], seq.past_lengths, target_ratings
+            )
+            payloads = dict(seq.past_payloads)
+            payloads["ratings"] = ratings
+            seq = seq._replace(past_ids=past_ids, past_payloads=payloads)
 
         encoded, _ = model.apply(
             params, seq, deterministic=False, rngs={"dropout": rng}
@@ -59,7 +88,7 @@ def make_loss_fn(model: GenerativeRecommender, cfg: Config) -> Callable:
             / t
         )  # [B, N, R]
         weights = (past_ids != 0).astype(jnp.float32)
-        if "sample_weight" in batch:
+        if not packed and "sample_weight" in batch:
             weights = weights * batch["sample_weight"][:, None]
         return ce_rating_loss(logits, ratings, weights)
 
@@ -67,9 +96,10 @@ def make_loss_fn(model: GenerativeRecommender, cfg: Config) -> Callable:
 
 
 def make_train_step(
-    model: GenerativeRecommender, cfg: Config, steps: int = 1
+    model: GenerativeRecommender, cfg: Config, steps: int = 1,
+    packed: bool = False,
 ) -> Callable:
-    loss_fn = make_loss_fn(model, cfg)
+    loss_fn = make_loss_fn(model, cfg, packed=packed)
     return train_step_from_loss(loss_fn, cfg, steps)
 
 

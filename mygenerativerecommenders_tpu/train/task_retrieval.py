@@ -607,3 +607,63 @@ def make_eval_step(
         return eval_steps
 
     return jax.jit(_eval_body)
+
+
+def make_packed_eval_step(
+    model: GenerativeRecommender,
+    cfg: Config,
+    all_item_ids: np.ndarray,
+    max_item_id: int,
+) -> Callable:
+    """eval_step(params, batch, candidates) -> (ids, scores, targets,
+    weights), all [S_cap, ...] — the PACKED eval path.
+
+    Consumes PackedBatchLoader(include_target=False) batches: several
+    history segments per attention row, each segment's LAST position is
+    one retrieval query, and the per-query top-k filter uses ONLY that
+    segment's own ids (seg_invalid_ids) — a packed row must not filter
+    by its neighbors' histories. Per-row results are identical to the
+    unpacked eval step for the same examples (tests/test_packing.py).
+    """
+    catalog = np.asarray(all_item_ids, dtype=np.int32)
+    k = cfg.model.index.k
+    quantize = cfg.model.index.quantize
+    over_fetch = cfg.model.index.rescore_over_fetch
+    filter_past = cfg.model.index.filter_past_ids
+
+    @jax.jit
+    def eval_step(params, batch, candidates):
+        from mygenerativerecommenders_tpu.utils.features import (
+            packed_seq_features,
+        )
+
+        seq = packed_seq_features(batch)
+        input_embeddings = model.apply(
+            params, seq.past_ids, method=model.item_embeddings
+        )
+        seq = seq._replace(past_embeddings=input_embeddings)
+        encoded, _ = model.apply(params, seq, deterministic=True)
+        p, l, d = encoded.shape
+        queries = jnp.take(
+            encoded.reshape(p * l, d), batch["seg_last_flat"], axis=0
+        )  # [S_cap, D]
+        invalid = batch["seg_invalid_ids"] if filter_past else None
+        if quantize == "int8":
+            from mygenerativerecommenders_tpu.ops.quantized_topk import (
+                mips_top_k_int8,
+            )
+
+            ids, scores = mips_top_k_int8(
+                queries, candidates, jnp.asarray(catalog),
+                k=min(k, len(all_item_ids)), invalid_ids=invalid,
+                max_item_id=max_item_id, over_fetch=over_fetch,
+            )
+        else:
+            ids, scores = mips_top_k(
+                queries, candidates, catalog,
+                k=min(k, len(all_item_ids)), invalid_ids=invalid,
+                max_item_id=max_item_id,
+            )
+        return ids, scores, batch["seg_target"], batch["seg_weight"]
+
+    return eval_step
