@@ -270,6 +270,7 @@ class PackedBatchLoader:
                     seg_last_flat=np.zeros(s_cap, dtype=np.int32),
                     seg_target=np.zeros(s_cap, dtype=np.int32),
                     seg_weight=np.zeros(s_cap, dtype=np.float32),
+                    seg_example=np.full(s_cap, -1, dtype=np.int32),
                     seg_invalid_ids=np.zeros((s_cap, l_cap), dtype=np.int32),
                 )
             return empty
@@ -327,6 +328,10 @@ class PackedBatchLoader:
             seg_target[:n_seg] = self.dataset.target_id[examples]
             seg_weight = np.zeros(s_cap, dtype=np.float32)
             seg_weight[:n_seg] = 1.0
+            # dataset example index per segment (predict re-orders its
+            # output back to dataset order; -1 = padding slot)
+            seg_example = np.full(s_cap, -1, dtype=np.int32)
+            seg_example[:n_seg] = examples.astype(np.int32)
             seg_invalid = np.zeros(s_cap * l_cap, dtype=np.int32)
             tok_seg = np.repeat(np.arange(n_seg, dtype=np.int64), seg_lens)
             seg_invalid[tok_seg * l_cap + tok_pos] = self._ids_ext[
@@ -336,6 +341,7 @@ class PackedBatchLoader:
                 seg_last_flat=seg_last_flat,
                 seg_target=seg_target,
                 seg_weight=seg_weight,
+                seg_example=seg_example,
                 seg_invalid_ids=seg_invalid.reshape(s_cap, l_cap),
             )
         return batch

@@ -807,8 +807,29 @@ class Trainer:
         if self.task != "retrieval":
             raise ValueError("predict() produces top-k lists; retrieval task only")
         candidates = self.candidate_fn(self.params)
-        loader = self._loader("test")
         top_ids_all, top_scores_all = [], []
+        if getattr(self, "_eval_packed", False):
+            # packed plans group examples by capacity class / packing row:
+            # collect (example, result) pairs and restore DATASET order
+            # (cli/predict joins rows onto the sequence frame by position)
+            loader = self._loader("test", packed=True)
+            by_example = {}
+            for batch, dev_batch in self._batches(loader, len(loader)):
+                ids, scores, _, _ = self.packed_eval_step(
+                    self.params, dev_batch, candidates
+                )
+                valid = batch["seg_weight"] > 0
+                ids_np = self._local_rows(ids)[valid]
+                scores_np = self._local_rows(scores)[valid]
+                for ex, row_i, row_s in zip(
+                    batch["seg_example"][valid], ids_np, scores_np
+                ):
+                    by_example[int(ex)] = (row_i.tolist(), row_s.tolist())
+            for ex in sorted(by_example):
+                top_ids_all.append(by_example[ex][0])
+                top_scores_all.append(by_example[ex][1])
+            return {"top_k_ids": top_ids_all, "top_k_scores": top_scores_all}
+        loader = self._loader("test")
         for batch, dev_batch in self._batches(loader, len(loader)):
             ids, scores = self.eval_step(self.params, dev_batch, candidates)
             valid = batch["sample_weight"] > 0

@@ -517,3 +517,32 @@ def test_ranking_packed_trains_in_band(tmp_path):
     finally:
         trainer.close()
     assert results["auroc"] > 0.62, results
+
+
+def test_packed_predict_preserves_dataset_order(tmp_path):
+    """predict() with packing returns rows in DATASET order (cli/predict
+    joins by position), matching the unpacked predict exactly."""
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    def run(packed):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out{packed}")
+        cfg.data.pack_sequences = packed
+        trainer = Trainer(cfg)
+        try:
+            return trainer.predict()
+        finally:
+            trainer.close()
+
+    base = run(False)
+    packed = run(True)
+    assert len(base["top_k_ids"]) == len(packed["top_k_ids"])
+    agree = sum(
+        a == b for a, b in zip(base["top_k_ids"], packed["top_k_ids"])
+    )
+    # float-layout noise may flip near-tied neighbors in rare rows; the
+    # ORDER (example identity) must hold for every row
+    assert agree >= len(base["top_k_ids"]) - 1, (agree, len(base["top_k_ids"]))
+    for a, b in zip(base["top_k_scores"], packed["top_k_scores"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
