@@ -92,8 +92,11 @@ def main():
         train_loader = trainer._loader("train", packed=trainer._packed)
         for trainer.epoch in range(cfg.trainer.max_epochs):
             final_loss = trainer.train_epoch(train_loader)
-        val = trainer.eval_epoch(trainer._loader("val"), "val")
-        test = trainer.eval_epoch(trainer._loader("test"), "test")
+        # packed mode also exercises the MULTI-HOST packed eval path
+        # (per-segment fields cross make_array_from_process_local_data)
+        ep = getattr(trainer, "_eval_packed", False)
+        val = trainer.eval_epoch(trainer._loader("val", packed=ep), "val")
+        test = trainer.eval_epoch(trainer._loader("test", packed=ep), "test")
     finally:
         trainer.close()
 

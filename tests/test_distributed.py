@@ -107,7 +107,8 @@ def test_two_process_training_matches_single_process(tmp_path, mode):
         loader = trainer._loader("train", packed=trainer._packed)
         for trainer.epoch in range(cfg1.trainer.max_epochs):
             last = trainer.train_epoch(loader)
-        val1 = trainer.eval_epoch(trainer._loader("val"), "val")
+        ep = getattr(trainer, "_eval_packed", False)
+        val1 = trainer.eval_epoch(trainer._loader("val", packed=ep), "val")
     finally:
         trainer.close()
 
