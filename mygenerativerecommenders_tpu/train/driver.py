@@ -727,6 +727,11 @@ class Trainer:
                     all_targets.append(hb["target_id"][valid])
 
             for batch, dev_batch in self._batches(loader, limit):
+                # chunks must be shape-uniform to stack (length-bucketed
+                # eval loaders interleave shapes): flush on shape change
+                if chunk and chunk[0][0]["ids"].shape != batch["ids"].shape:
+                    _flush(chunk)
+                    chunk = []
                 chunk.append((batch, dev_batch))
                 if len(chunk) == k_eval:
                     _flush(chunk)

@@ -164,3 +164,27 @@ def test_driver_batched_eval_matches_per_batch(tmp_path):
     assert base.keys() == batched.keys()
     for key in base:
         np.testing.assert_allclose(batched[key], base[key], rtol=1e-6)
+
+
+def test_driver_batched_eval_with_length_buckets(tmp_path):
+    """Length-bucketed eval loaders interleave batch SHAPES; the batched
+    eval dispatcher must flush chunks at shape boundaries instead of
+    stacking mixed shapes (which would raise)."""
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    def results_for(k):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"outb{k}")
+        cfg.data.length_buckets = (16, 43)
+        cfg.trainer.steps_per_call = k
+        trainer = Trainer(cfg)
+        try:
+            return trainer.eval_epoch(trainer.data.loader("val"))
+        finally:
+            trainer.close()
+
+    base = results_for(1)
+    batched = results_for(2)
+    for key in base:
+        np.testing.assert_allclose(batched[key], base[key], rtol=1e-6)
