@@ -114,7 +114,10 @@ def count_offsets_packed4_tpu(
     assert bt % _BQ == 0, bt
     g_total = slices // 4
     bqi = min(_SUB, 128 // (2 * g_total))
-    assert bqi >= 4, (slices, bqi)
+    # the supported() gate + the hi-block splits only produce g_total in
+    # {1..8, 16}, so bqi is always 8 or 4; the kernel's row bookkeeping
+    # (dots_per_iter, gpext2 reshape) requires it to divide _SUB
+    assert bqi >= 4 and _SUB % bqi == 0, (slices, bqi)
 
     # draw metadata, computed once in XLA ([BT, R] elementwise, fuses):
     # group' = packed group + G*(digit pair), extended by the row's slot
