@@ -317,8 +317,8 @@ def bench_packed_ml1m(users=4096, calls=4, steps_per_call=32,
 
     shared_negatives=True stacks the opt-in shared-negatives fast path
     (R=1024, the PARITY-banded configuration) on top — the two
-    optimizations compose: 39.6k ex/s/chip measured vs 12.9k padded
-    parity (3.1x).
+    optimizations compose: 49.7k ex/s/chip measured (r4) vs 14.1k padded
+    parity (3.5x).
 
     steps_per_call=32 mirrors the trainer.steps_per_call config
     (quality-neutral — per-step RNG keys derive from the global step

@@ -126,7 +126,7 @@ class PackedBatchLoader:
           seg_last_flat    [S_cap] flat (row*cap + col) index of each
                            segment's LAST token (the retrieval query)
           seg_target       [S_cap] held-out target id (0 = padding slot)
-          seg_weight       [S_cap] the example's sample weight (0 = pad)
+          seg_weight       [S_cap] 1.0 for real segments, 0 = pad slot
           seg_invalid_ids  [S_cap, cap] the segment's own ids, 0-padded
                            (the per-query top-k filter list — packed
                            rows must NOT filter by their neighbors' ids)
@@ -320,9 +320,15 @@ class PackedBatchLoader:
             assert n_seg <= s_cap, (n_seg, s_cap)
             seg_last_flat = np.zeros(s_cap, dtype=np.int32)
             # the query = each segment's last HISTORY token (the final
-            # slot is the inert target-timestamp carrier)
+            # slot is the inert target-timestamp carrier). Row indices
+            # are GLOBAL under multi-host eval: the stitched [p*pc, L]
+            # batch places process pi's rows at [pi*p, (pi+1)*p)
+            # (make_array_from_process_local_data with a data-outermost
+            # mesh — the same contiguous-shards layout _local_rows
+            # assumes), while this process's flat gather must address
+            # the jit-global encoded array.
             seg_last_flat[:n_seg] = (
-                grow * l_cap + offsets + np.maximum(seg_lens - 2, 0)
+                (pi * p + grow) * l_cap + offsets + np.maximum(seg_lens - 2, 0)
             ).astype(np.int32)
             seg_target = np.zeros(s_cap, dtype=np.int32)
             seg_target[:n_seg] = self.dataset.target_id[examples]

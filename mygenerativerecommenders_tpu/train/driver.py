@@ -699,44 +699,38 @@ class Trainer:
             candidates = self.candidate_fn(self.params)
             all_topk, all_targets = [], []
             k_eval = getattr(self, "eval_steps_per_call", 1)
-            chunk: list = []
-
-            def _flush(chunk):
-                if not chunk:
-                    return
-                if len(chunk) == k_eval and k_eval > 1:
-                    # one dispatch scans the stacked chunk (per-dispatch
-                    # host latency dominates the device-side eval step)
-                    stacked = {
-                        key: jnp.stack([dv[key] for _, dv in chunk])
-                        for key in chunk[0][1]
-                    }
-                    ids_k, _ = self.eval_step_many(
-                        self.params, stacked, candidates
+            if k_eval > 1:
+                # k batches per dispatch via the train path's stacker
+                # (host-side stacking, shape-boundary flush for bucketed
+                # loaders, prefetch); remainders/odd shapes come through
+                # with n_steps == 1
+                for hbs, dev, n_steps in self._stacked_batches(
+                    loader, limit, k_eval
+                ):
+                    if n_steps > 1:
+                        ids_k, _ = self.eval_step_many(
+                            self.params, dev, candidates
+                        )
+                        ids_k = np.asarray(ids_k)
+                        for i, hb in enumerate(hbs):
+                            valid = hb["sample_weight"] > 0
+                            all_topk.append(ids_k[i][valid])
+                            all_targets.append(hb["target_id"][valid])
+                    else:
+                        top_ids, _ = self.eval_step(
+                            self.params, dev, candidates
+                        )
+                        valid = hbs[0]["sample_weight"] > 0
+                        all_topk.append(self._local_rows(top_ids)[valid])
+                        all_targets.append(hbs[0]["target_id"][valid])
+            else:
+                for batch, dev_batch in self._batches(loader, limit):
+                    top_ids, _ = self.eval_step(
+                        self.params, dev_batch, candidates
                     )
-                    ids_k = np.asarray(ids_k)
-                    for i, (hb, _) in enumerate(chunk):
-                        valid = hb["sample_weight"] > 0
-                        all_topk.append(ids_k[i][valid])
-                        all_targets.append(hb["target_id"][valid])
-                    return
-                for hb, dv in chunk:
-                    top_ids, _ = self.eval_step(self.params, dv, candidates)
-                    valid = hb["sample_weight"] > 0
+                    valid = batch["sample_weight"] > 0
                     all_topk.append(self._local_rows(top_ids)[valid])
-                    all_targets.append(hb["target_id"][valid])
-
-            for batch, dev_batch in self._batches(loader, limit):
-                # chunks must be shape-uniform to stack (length-bucketed
-                # eval loaders interleave shapes): flush on shape change
-                if chunk and chunk[0][0]["ids"].shape != batch["ids"].shape:
-                    _flush(chunk)
-                    chunk = []
-                chunk.append((batch, dev_batch))
-                if len(chunk) == k_eval:
-                    _flush(chunk)
-                    chunk = []
-            _flush(chunk)
+                    all_targets.append(batch["target_id"][valid])
             top_k_ids = self._gather_rows(np.concatenate(all_topk, axis=0))
             target_ids = self._gather_rows(np.concatenate(all_targets, axis=0))[
                 :, None

@@ -40,17 +40,29 @@ def make_loss_fn(
     preprocessor doubles packed rows the same way it doubles padded rows
     (positions interleave to (2p, 2p+1), seg_ids repeat) and the aux
     compaction maps the encoder output back to item slots."""
-    if packed and cfg.model.preprocessor.kind not in (
-        "learnable_positional",
-        "learnable_positional_rated",
-        "combined_item_and_rating",
-    ):
-        raise ValueError(
-            "data.pack_sequences with model.task=ranking requires a "
-            "preprocessor that models packed positions (learnable_"
-            "positional, learnable_positional_rated, or combined_item_"
-            "and_rating)"
-        )
+    if packed:
+        problems = []
+        if cfg.model.preprocessor.kind not in (
+            "learnable_positional",
+            "learnable_positional_rated",
+            "combined_item_and_rating",
+        ):
+            problems.append(
+                "a preprocessor that models packed positions "
+                "(learnable_positional[_rated] or combined_item_and_rating)"
+            )
+        # same encoder requirement as the retrieval packed gate: only the
+        # HSTU rel_bias path consumes seg_ids/positions — sasrec would
+        # silently attend across packed segments
+        if cfg.model.encoder.kind != "hstu" or (
+            cfg.model.encoder.normalization not in ("rel_bias", "hstu_rel_bias")
+        ):
+            problems.append("encoder.kind=hstu with rel_bias normalization")
+        if problems:
+            raise ValueError(
+                "data.pack_sequences with model.task=ranking requires: "
+                + ", ".join(problems)
+            )
     sampler = make_sampler(cfg)
     t = cfg.model.loss.temperature
     max_out = cfg.model.gr_output_length + 1

@@ -97,6 +97,14 @@ def main():
         ep = getattr(trainer, "_eval_packed", False)
         val = trainer.eval_epoch(trainer._loader("val", packed=ep), "val")
         test = trainer.eval_epoch(trainer._loader("test", packed=ep), "test")
+        if ep:
+            # the packed eval is EXACT vs unpacked — a tight equality
+            # here catches cross-process index bugs (the per-segment
+            # query gather addresses the jit-global encoded array) that
+            # the loose single-vs-2-process tolerance would miss
+            val_u = trainer.eval_epoch(trainer._loader("val"), "val")
+            for k, v in val_u.items():
+                assert abs(val[k] - v) < 1e-6, (k, val[k], v)
     finally:
         trainer.close()
 
