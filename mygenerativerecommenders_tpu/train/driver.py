@@ -266,6 +266,16 @@ class Trainer:
                 if self._eval_packed
                 else None
             )
+            self.packed_eval_step_many = (
+                task_retrieval.make_packed_eval_step(
+                    self.model, cfg, self.all_item_ids, self.data.max_item_id,
+                    steps=k_eval,
+                )
+                if self._eval_packed
+                and k_eval > 1
+                and jax.process_count() == 1
+                else None
+            )
         elif self.task == "ranking":
             from mygenerativerecommenders_tpu.train import task_ranking
 
@@ -681,13 +691,35 @@ class Trainer:
             # PACKED eval: one query per segment, per-segment filter
             candidates = self.candidate_fn(self.params)
             all_topk, all_targets = [], []
-            for batch, dev_batch in self._batches(loader, limit):
-                ids, _, _, _ = self.packed_eval_step(
-                    self.params, dev_batch, candidates
-                )
-                valid = batch["seg_weight"] > 0
-                all_topk.append(self._local_rows(ids)[valid])
-                all_targets.append(batch["seg_target"][valid])
+            if getattr(self, "packed_eval_step_many", None) is not None:
+                k_eval = self.eval_steps_per_call
+                for hbs, dev, n_steps in self._stacked_batches(
+                    loader, limit, k_eval
+                ):
+                    if n_steps > 1:
+                        ids_k, _, _, _ = self.packed_eval_step_many(
+                            self.params, dev, candidates
+                        )
+                        ids_k = np.asarray(ids_k)
+                        for i, hb in enumerate(hbs):
+                            valid = hb["seg_weight"] > 0
+                            all_topk.append(ids_k[i][valid])
+                            all_targets.append(hb["seg_target"][valid])
+                    else:
+                        ids, _, _, _ = self.packed_eval_step(
+                            self.params, dev, candidates
+                        )
+                        valid = hbs[0]["seg_weight"] > 0
+                        all_topk.append(self._local_rows(ids)[valid])
+                        all_targets.append(hbs[0]["seg_target"][valid])
+            else:
+                for batch, dev_batch in self._batches(loader, limit):
+                    ids, _, _, _ = self.packed_eval_step(
+                        self.params, dev_batch, candidates
+                    )
+                    valid = batch["seg_weight"] > 0
+                    all_topk.append(self._local_rows(ids)[valid])
+                    all_targets.append(batch["seg_target"][valid])
             top_k_ids = self._gather_rows(np.concatenate(all_topk, axis=0))
             target_ids = self._gather_rows(
                 np.concatenate(all_targets, axis=0)

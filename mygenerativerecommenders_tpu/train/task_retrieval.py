@@ -614,6 +614,7 @@ def make_packed_eval_step(
     cfg: Config,
     all_item_ids: np.ndarray,
     max_item_id: int,
+    steps: int = 1,
 ) -> Callable:
     """eval_step(params, batch, candidates) -> (ids, scores, targets,
     weights), all [S_cap, ...] — the PACKED eval path.
@@ -665,5 +666,18 @@ def make_packed_eval_step(
                 max_item_id=max_item_id,
             )
         return ids, scores, batch["seg_target"], batch["seg_weight"]
+
+    if steps > 1:
+        # k stacked batches per dispatch (same motivation as
+        # make_eval_step(steps=...): per-dispatch host latency)
+        body = eval_step.__wrapped__
+
+        @jax.jit
+        def eval_steps(params, batches, candidates):
+            return jax.lax.map(
+                lambda bb: body(params, bb, candidates), batches
+            )
+
+        return eval_steps
 
     return eval_step

@@ -143,19 +143,25 @@ def test_driver_multi_matches_single_examples(tmp_path):
         trainer.close()
 
 
-def test_driver_batched_eval_matches_per_batch(tmp_path):
+@pytest.mark.parametrize("packed", [False, True])
+def test_driver_batched_eval_matches_per_batch(tmp_path, packed):
     """eval_epoch with steps_per_call>1 (stacked-batch dispatch incl. a
-    remainder chunk) must produce exactly the per-batch metrics."""
+    remainder chunk) must produce exactly the per-batch metrics — for
+    the padded AND the packed eval paths."""
     from mygenerativerecommenders_tpu.train.driver import Trainer
 
     def results_for(k):
         cfg = get_preset("synthetic-smoke")
         cfg.data.data_dir = str(tmp_path / "data")
-        cfg.trainer.output_dir = str(tmp_path / f"out{k}")
+        cfg.trainer.output_dir = str(tmp_path / f"out{packed}{k}")
         cfg.trainer.steps_per_call = k
+        cfg.data.pack_sequences = packed
         trainer = Trainer(cfg)
         try:
-            return trainer.eval_epoch(trainer.data.loader("val"))
+            loader = trainer._loader(
+                "val", packed=getattr(trainer, "_eval_packed", False)
+            )
+            return trainer.eval_epoch(loader)
         finally:
             trainer.close()
 
