@@ -141,7 +141,9 @@ class RetrievalMetricsNumpy:
         return out
 
 
-def run_reference(epochs: int, users: int) -> dict:
+def run_reference(
+    epochs: int, users: int, save_ckpt_path: str | None = None
+) -> dict:
     import torch
 
     _install_stubs()
@@ -420,6 +422,20 @@ def run_reference(epochs: int, users: int) -> dict:
     # test on best checkpoint (scripts/train.py:77-84)
     model.load_state_dict(best["state"])
     test = eval_epoch(eval_loader)
+    if save_ckpt_path is not None:
+        # Emulate a Lightning ModelCheckpoint file: the reference's
+        # GenerativeRecommenders LightningModule holds embeddings/
+        # preprocessor/sequence_encoder/postprocessor as direct
+        # attributes (generative_recommenders.py:221-228), so its
+        # checkpoint "state_dict" keys are exactly this Model's keys.
+        torch.save(
+            {
+                "state_dict": best["state"],
+                "epoch": best["epoch"],
+                "global_step": 0,
+            },
+            save_ckpt_path,
+        )
     return {
         "arm": "reference-torch",
         "epochs_run": epoch + 1,
@@ -428,6 +444,20 @@ def run_reference(epochs: int, users: int) -> dict:
         "test": test,
         "train_examples_per_sec": n_train * (epoch + 1) / (time.time() - t0),
     }
+
+
+def ours_overrides(epochs: int, users: int, out_sub: str = "ours") -> list[str]:
+    return [
+        "data.dataset_name=synthetic",
+        f"data.data_dir={data_dir_for(users)}",
+        f"data.synthetic_num_users={users}",
+        # the reference's LocalEmbeddingModule is the fork's
+        # half-item/half-year table (embeddings.py:55-73)
+        "model.embedding.kind=item_year",
+        f"trainer.max_epochs={epochs}",
+        f"trainer.seed={SEED}",
+        f"trainer.output_dir={os.path.join(data_dir_for(users), out_sub, f's{SEED}')}",
+    ]
 
 
 def run_ours(epochs: int, users: int) -> dict:
@@ -441,20 +471,7 @@ def run_ours(epochs: int, users: int) -> dict:
 
     ensure_data(users)
     cfg = get_preset("ml-1m-hstu")
-    apply_overrides(
-        cfg,
-        [
-            "data.dataset_name=synthetic",
-            f"data.data_dir={data_dir_for(users)}",
-            f"data.synthetic_num_users={users}",
-            # the reference's LocalEmbeddingModule is the fork's
-            # half-item/half-year table (embeddings.py:55-73)
-            "model.embedding.kind=item_year",
-            f"trainer.max_epochs={epochs}",
-            f"trainer.seed={SEED}",
-            f"trainer.output_dir={os.path.join(data_dir_for(users), 'ours', f's{SEED}')}",
-        ],
-    )
+    apply_overrides(cfg, ours_overrides(epochs, users))
     trainer = Trainer(cfg)
     t0 = time.time()
     trainer.fit()
@@ -463,6 +480,58 @@ def run_ours(epochs: int, users: int) -> dict:
         "arm": "ours-jax",
         "test": {k: float(v) for k, v in results.items()},
         "wall_s": time.time() - t0,
+    }
+
+
+def run_roundtrip(epochs: int, users: int) -> dict:
+    """Full checkpoint round-trip (VERDICT r4 item 1): train the GENUINE
+    reference torch modules, save their best state_dict as a
+    Lightning-shaped .ckpt, convert it through the REAL
+    cli/convert_ckpt.py entry point, restore it in OUR trainer, run OUR
+    eval loop on the same split, and compare per-metric against the
+    reference arm's own test metrics. Same weights + same data + same
+    protocol => near-exact equality (fp-noise rank flips only).
+
+    Reference: scripts/convert_ckpt.py:7-46 (ckpt remap), scripts/
+    eval.py:21-62 (eval-on-ckpt protocol).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ckpt_path = os.path.join(data_dir_for(users), f"ref_best_s{SEED}.ckpt")
+    conv_dir = os.path.join(data_dir_for(users), f"converted_s{SEED}")
+    os.makedirs(data_dir_for(users), exist_ok=True)
+    ref = run_reference(epochs, users, save_ckpt_path=ckpt_path)
+
+    from mygenerativerecommenders_tpu.cli import convert_ckpt
+    from mygenerativerecommenders_tpu.cli.train import parse_args
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    overrides = ["experiment=ml-1m-hstu"] + ours_overrides(
+        epochs, users, out_sub="roundtrip"
+    )
+    convert_ckpt.main([ckpt_path, conv_dir] + overrides)
+
+    trainer = Trainer(parse_args(overrides))
+    try:
+        ours_test = trainer.test(os.path.join(conv_dir, "last"))
+    finally:
+        trainer.close()
+    ours_test = {k: float(v) for k, v in ours_test.items()}
+    deltas = {
+        k: ours_test[k] - ref["test"][k]
+        for k in ref["test"]
+        if k in ours_test
+    }
+    return {
+        "arm": "roundtrip",
+        "ref_test": ref["test"],
+        "ours_test": ours_test,
+        "deltas": deltas,
+        "max_abs_delta": max(abs(v) for v in deltas.values()),
+        "ref_best_epoch": ref["best_epoch"],
+        "epochs_run": ref["epochs_run"],
     }
 
 
@@ -478,6 +547,10 @@ def main():
         print(json.dumps(out), flush=True)
     if arm in ("ours", "both"):
         out = run_ours(epochs, users)
+        out["seed"] = SEED
+        print(json.dumps(out), flush=True)
+    if arm == "roundtrip":
+        out = run_roundtrip(epochs, users)
         out["seed"] = SEED
         print(json.dumps(out), flush=True)
 

@@ -132,7 +132,10 @@ def main(argv: list[str] | None = None):
         state, trainer.params["params"]
     )
     trainer.params = params
-    trainer.ckpt.ckpt_dir = out_dir
+    import os
+
+    trainer.ckpt.ckpt_dir = os.path.abspath(out_dir)
+    os.makedirs(trainer.ckpt.ckpt_dir, exist_ok=True)
     trainer.ckpt.save(
         trainer.params, trainer.opt_state, step=0, epoch=0, metric_value=None
     )
