@@ -65,29 +65,28 @@ def _chunk_contribution(
     Returns [B, Nq, H, Dv] float32 partial sum.
 
     use_pallas routes through the fused chunk kernel
-    (ops/pallas/hstu_chunk.py): the offset-dependent pos-bias and causal
-    mask become [Nq, Nc] data tiles (pos bias via the exact Kronecker
-    one-hot selection, so d_pos_w still flows through plain autodiff)
-    and the time-bucket bias is generated in-kernel — no [B, H, Nq, Nc]
-    bias/attention tensor in HBM on the forward.
+    (ops/pallas/hstu_chunk.py): only the offset DELTA rides in (scalar
+    prefetch) — the causal mask, the positional-bias stripe window, and
+    the time-bucket bias are generated in-kernel, and the fused backward
+    produces dq/dk/dv plus both bias-table gradients in-kernel — no
+    [B, H, Nq, Nc] bias/attention tensors in HBM in either direction.
     """
+    if use_pallas:
+        from mygenerativerecommenders_tpu.ops.pallas.hstu_chunk import (
+            hstu_chunk_attention,
+        )
+
+        return hstu_chunk_attention(
+            q, k_chunk, v_chunk, tsq_next, tsk_chunk,
+            col_off - row_off, pos_w, ts_w,
+            inv_n=1.0 / max_len, max_len=max_len, num_buckets=num_buckets,
+            interpret=interpret,
+        )
     nq, nc = q.shape[1], k_chunk.shape[1]
     rows = row_off + jnp.arange(nq)[:, None]  # global n
     cols = col_off + jnp.arange(nc)[None, :]  # global m
     # pos term: pos_w[(m - n) + max_len - 1], clipped like the fused kernel
     pos_idx = jnp.clip((cols - rows) + (max_len - 1), 0, 2 * max_len - 2)
-    if use_pallas:
-        from mygenerativerecommenders_tpu.ops.pallas.hstu_chunk import (
-            hstu_chunk_attention,
-            pos_bias_tile,
-        )
-
-        posb = pos_bias_tile(pos_w, pos_idx)
-        mask = (rows >= cols).astype(jnp.float32)
-        return hstu_chunk_attention(
-            q, k_chunk, v_chunk, tsq_next, tsk_chunk, posb, mask, ts_w,
-            inv_n=1.0 / max_len, num_buckets=num_buckets, interpret=interpret,
-        )
     s = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k_chunk, preferred_element_type=jnp.float32
     )
