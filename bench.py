@@ -44,6 +44,31 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def _timed_calls(run_group, groups, calls_per_group, label):
+    """Measurement convention (documented in PERFORMANCE.md):
+    run_group() issues `calls_per_group` chained dispatches and syncs
+    ONCE at the end with a host value-fetch (through the axon tunnel,
+    block_until_ready can return before device completion; only a fetch
+    is a reliable barrier) — within a group, host dispatch overlaps
+    device compute exactly like the production train loop. The group is
+    timed as a unit and the reported rate uses the MEDIAN over `groups`
+    repetitions, so one slow outlier (allocator warmup, tunnel hiccup)
+    cannot move the headline number; the min/max spread is logged for
+    the variance trail."""
+    times = []
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        run_group()
+        times.append((time.perf_counter() - t0) / calls_per_group)
+    med = float(np.median(times))
+    _log(
+        f"{label}: median {med * 1e3:.1f} ms/call over {groups}x"
+        f"{calls_per_group} (min {min(times) * 1e3:.1f}, "
+        f"max {max(times) * 1e3:.1f})"
+    )
+    return med
+
+
 def bench_ours(batch, calls=4, steps_per_call=8, warmup=2):
     import jax
 
@@ -81,15 +106,18 @@ def bench_ours(batch, calls=4, steps_per_call=8, warmup=2):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
     _log(f"warmup loss {float(loss[-1]):.4f}")  # host pull guarantees the chain
     # completed (the tunnel's block_until_ready has been seen to return early)
-    t0 = time.perf_counter()
-    for i in range(calls):
-        params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
-    final = float(loss[-1])
-    dt = time.perf_counter() - t0
-    steps = calls * k
-    _log(f"timed {steps} steps in {dt:.3f}s (final loss {final:.4f})")
+    state = [params, opt_state]
+
+    def run_group():
+        for _ in range(calls):
+            state[0], state[1], loss = train_step(
+                state[0], state[1], dev_batch, rng, lr1, lr2
+            )
+        float(loss[-1])
+
+    med = _timed_calls(run_group, 3, calls, f"ml-1m padded ({k} steps/call)")
     b = batch["lengths"].shape[0]
-    return b * steps / dt
+    return b * k / med
 
 
 def bench_torch_reference(batch, steps=3, warmup=1):
@@ -237,14 +265,18 @@ def bench_long_n(calls=4, steps_per_call=4, warmup=2):
     for _ in range(warmup):
         params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
     _log(f"long-N warmup loss {float(loss[-1]):.4f}")
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        params, opt_state, loss = train_step(params, opt_state, dev_batch, rng, lr1, lr2)
-    final = float(loss[-1])
-    dt = time.perf_counter() - t0
-    steps = calls * k
-    _log(f"long-N {1e3 * dt / steps:.1f} ms/step (final loss {final:.4f})")
-    return b * steps / dt
+    state = [params, opt_state]
+
+    def run_group():
+        for _ in range(calls):
+            state[0], state[1], loss = train_step(
+                state[0], state[1], dev_batch, rng, lr1, lr2
+            )
+        float(loss[-1])
+
+    med = _timed_calls(run_group, 3, calls, f"long-N padded ({k} steps/call)")
+    _log(f"long-N {1e3 * med / k:.1f} ms/step")
+    return b * k / med
 
 
 def bench_long_n_bucketed(users=2048):
@@ -383,17 +415,23 @@ def bench_packed_ml1m(users=4096, calls=4, steps_per_call=32,
     for _ in range(2):
         params, opt_state, loss = step(params, opt_state, db, rng, lr1, 0.0)
     float(loss[-1])
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        params, opt_state, loss = step(params, opt_state, db, rng, lr1, 0.0)
-    float(loss[-1])
-    dt = time.perf_counter() - t0
+    state = [params, opt_state]
+
+    def run_group():
+        for _ in range(calls):
+            state[0], state[1], loss = step(
+                state[0], state[1], db, rng, lr1, 0.0
+            )
+        float(loss[-1])
+
+    label = "packed ml-1m" + (" +shared-neg" if shared_negatives else "")
     segs = sum(int(batches[i % len(batches)]["num_segments"].sum()) for i in range(k))
+    med = _timed_calls(run_group, 3, calls, f"{label} ({k} steps/call)")
     _log(
-        f"packed ml-1m: {dt / calls * 1e3:.1f} ms/call ({k} steps, "
+        f"{label}: {med * 1e3:.1f} ms/call ({k} steps, "
         f"{segs // k} segs/step, rows={rows} x cap={cap})"
     )
-    return segs * calls / dt
+    return segs / med
 
 
 def bench_long_n_packed(users=2048):

@@ -232,6 +232,167 @@ def run(num_items: int = 3952, emit=print) -> dict:
     bench_gen("greedy", greedy)
     bench_gen("sample", sample)
     bench_gen("beam4", beam)
+    try:
+        results.update(run_long_eval(emit=emit))
+    except Exception as e:  # the short-N metrics must still return
+        emit(f"# long-N eval bench failed: {e}")
+    return results
+
+
+def run_long_eval(emit=print) -> dict:
+    """Packed vs unpacked EVAL at ml-20m-hstu-long shapes (VERDICT r4
+    item 2): the r4 driver picked packed eval unconditionally whenever
+    training packs, but packed-vs-unpacked had only been measured at
+    ml-1m shapes (where unpacked-batched wins). This measures both arms
+    at long N with the realistic lognormal length mix so the driver's
+    pack_eval=auto policy is benefit-based at BOTH shape classes."""
+    import jax
+    import jax.numpy as jnp
+
+    from mygenerativerecommenders_tpu.configs import resolve
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.data.dataset import (
+        BatchLoader,
+        SequenceDataset,
+    )
+    from mygenerativerecommenders_tpu.data.packing import PackedBatchLoader
+    from mygenerativerecommenders_tpu.models.model import build_model
+    from mygenerativerecommenders_tpu.train.task_retrieval import (
+        make_candidate_fn,
+        make_eval_step,
+        make_packed_eval_step,
+    )
+    from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
+
+    results = {}
+
+    def _emit(metric, value, unit):
+        results[metric] = value
+        emit(json.dumps({"metric": metric, "value": value, "unit": unit}))
+
+    cfg = get_preset("ml-20m-hstu-long")
+    cfg.data.pack_sequences = False  # arms are chosen explicitly below
+    num_items = cfg.data.expected_max_item_id
+    resolve(cfg, num_items)
+    b, l = cfg.data.batch_size, cfg.data.max_sequence_length
+    rng_np = np.random.default_rng(0)
+    users = 512
+    lens_np = np.clip(
+        rng_np.lognormal(4.6, 0.9, size=users).astype(np.int32), 20, l
+    )
+    ids_np = np.zeros((users, l), dtype=np.int32)
+    ts_np = np.zeros((users, l), dtype=np.int32)
+    for i, nn_ in enumerate(lens_np):
+        ids_np[i, :nn_] = rng_np.integers(1, num_items, size=nn_)
+        ts_np[i, :nn_] = np.sort(
+            978_000_000 + rng_np.integers(0, 10**8, size=nn_)
+        )
+    ds = SequenceDataset(
+        lengths=lens_np, ids=ids_np, ratings=np.ones_like(ids_np),
+        timestamps=ts_np,
+        target_id=rng_np.integers(1, num_items, size=users).astype(np.int32),
+        target_rating=np.ones(users, dtype=np.int32),
+        target_timestamp=(ts_np.max(axis=1) + 100).astype(np.int32),
+        user_ids=np.arange(users), additional={},
+    )
+    all_ids = np.sort(
+        rng_np.choice(
+            np.arange(1, num_items + 1),
+            size=cfg.data.expected_num_unique_items, replace=False,
+        )
+    ).astype(np.int32)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    probe = next(iter(BatchLoader(ds, batch_size=b)))
+    seq, _, _ = seq_features_from_batch(probe, cfg.model.gr_output_length + 1)
+    params = jax.jit(
+        lambda r, s: model.init(
+            {"params": r, "dropout": r}, s, method=model.init_all
+        )
+    )(rng, seq)
+    candidates = make_candidate_fn(model, cfg, all_ids)(params)
+
+    reps = 3
+
+    # --- unpacked (padded rows, jagged-kernel length skipping), batched
+    ksteps = 4
+    estep_k = make_eval_step(model, cfg, all_ids, num_items, steps=ksteps)
+    estep_1 = make_eval_step(model, cfg, all_ids, num_items)
+    host = list(BatchLoader(ds, batch_size=b))
+    chunks, singles = [], []
+    for i in range(0, len(host), ksteps):
+        grp = host[i:i + ksteps]
+        if len(grp) == ksteps:
+            chunks.append(jax.device_put(
+                {key: np.stack([hb[key] for hb in grp]) for key in grp[0]}
+            ))
+        else:
+            singles.extend(jax.device_put(hb) for hb in grp)
+
+    def run_unpacked():
+        for ch in chunks:
+            out = estep_k(params, ch, candidates)
+        for hb in singles:
+            out = estep_1(params, hb, candidates)
+        return out
+
+    float(run_unpacked()[1].sum())  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run_unpacked()
+    float(out[1].sum())
+    dt = time.perf_counter() - t0
+    _emit(
+        "eval_long_padded_queries_per_sec", round(users * reps / dt, 1),
+        f"q/s (X={num_items}, N={l} padded, {ksteps} batches/dispatch)",
+    )
+
+    # --- packed (history-only segment packing, capacity classes), batched
+    caps = list(cfg.data.pack_capacities) or [
+        ((l + 1) + 127) // 128 * 128
+    ]
+    cap = max(caps)
+    mean_seg = float(lens_np.mean() + 1.0)
+    rows = max(1, int(round(b * mean_seg / cap)))
+    ploader = PackedBatchLoader(
+        ds, rows_per_batch=rows, row_capacity=cap, capacities=caps,
+        segments_per_batch=b, include_target=False,
+    )
+    pstep_k = make_packed_eval_step(model, cfg, all_ids, num_items, steps=ksteps)
+    pstep_1 = make_packed_eval_step(model, cfg, all_ids, num_items)
+    phost = list(ploader)
+    pchunks, psingles, n_seg = [], [], 0
+    run_shapes = {}
+    for pb in phost:
+        n_seg += int(pb["seg_weight"].sum())
+        run_shapes.setdefault(pb["ids"].shape, []).append(pb)
+    for shape, grp in run_shapes.items():
+        for i in range(0, len(grp), ksteps):
+            g = grp[i:i + ksteps]
+            if len(g) == ksteps:
+                pchunks.append(jax.device_put(
+                    {key: np.stack([hb[key] for hb in g]) for key in g[0]}
+                ))
+            else:
+                psingles.extend(jax.device_put(hb) for hb in g)
+
+    def run_packed():
+        for ch in pchunks:
+            out = pstep_k(params, ch, candidates)
+        for pb in psingles:
+            out = pstep_1(params, pb, candidates)
+        return out
+
+    float(run_packed()[1].sum())
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run_packed()
+    float(out[1].sum())
+    dt = time.perf_counter() - t0
+    _emit(
+        "eval_long_packed_queries_per_sec", round(n_seg * reps / dt, 1),
+        f"q/s (X={num_items}, packed caps={caps}, {ksteps} batches/dispatch)",
+    )
     return results
 
 

@@ -285,6 +285,14 @@ class DataConfig:
     # capacity (pack_row_capacity). The largest must cover the longest
     # segment (max_sequence_length + 1).
     pack_capacities: Tuple[int, ...] = ()
+    # EVAL packing policy when pack_sequences is on (train packing never
+    # depends on this). "auto" picks the measured-faster path per shape
+    # class (benchmarks/eval_bench.py run_long_eval, v5e): packed eval
+    # wins 4.5x at ml-20m-long shapes (9.2k vs 2.1k q/s at N=1024) but
+    # loses ~25% at ml-1m shapes (75.8k vs 100.2k q/s at N=200, where
+    # the unpacked batched dispatch is already device-bound) — auto
+    # packs eval iff max_sequence_length >= 512. "true"/"false" force.
+    pack_eval: str = "auto"
 
 
 @dataclass
@@ -301,6 +309,10 @@ class TrainerConfig:
     fast_dev_run: bool = False
     overfit_batches: int = 0
     log_every_n_steps: int = 50
+    # in-place per-step console progress line (the reference's
+    # callbacks/rich_progress_bar.yaml analog); renders only when stderr
+    # is a TTY, so CI/log-file runs are unaffected
+    progress_bar: bool = True
     output_dir: str = "outputs"
     ckpt_path: str = ""  # resume path
     save_top_k: int = 1

@@ -33,7 +33,11 @@ from mygenerativerecommenders_tpu.train.controllers import (
     EarlyStopping,
     PlateauLRController,
 )
-from mygenerativerecommenders_tpu.train.loggers import MetricsWriter, RankedLogger
+from mygenerativerecommenders_tpu.train.loggers import (
+    MetricsWriter,
+    ProgressLine,
+    RankedLogger,
+)
 from mygenerativerecommenders_tpu.train.optimizers import build_optimizer
 from mygenerativerecommenders_tpu.train import task_retrieval
 from mygenerativerecommenders_tpu.utils.features import seq_features_from_batch
@@ -236,17 +240,18 @@ class Trainer:
             )
             # batched eval (trainer.steps_per_call batches per dispatch):
             # per-dispatch host latency dominates the ~ms-scale eval step
-            # (see benchmarks/eval_bench.py); the sharded-index path keeps
-            # per-batch dispatch (its collectives are the long pole)
+            # (see benchmarks/eval_bench.py). Composes with the sharded
+            # index (the per-shard top-k's collectives ride inside the
+            # lax.map) and with multi-process (the stacked batch shards
+            # over data like the train path; outputs come back through
+            # _local_rows(axis=1)).
             k_eval = max(int(cfg.trainer.steps_per_call), 1)
             self.eval_step_many = (
                 task_retrieval.make_eval_step(
                     self.model, cfg, self.all_item_ids, self.data.max_item_id,
-                    steps=k_eval,
+                    mesh=self.mesh, steps=k_eval,
                 )
                 if k_eval > 1
-                and jax.process_count() == 1
-                and not task_retrieval.index_sharded_on(cfg)
                 else None
             )
             self.eval_steps_per_call = k_eval if self.eval_step_many else 1
@@ -254,14 +259,25 @@ class Trainer:
                 self.model, cfg, self.all_item_ids, mesh=self.mesh,
             )
             # packed EVAL: history-only segment packing with per-segment
-            # top-k (exact vs unpacked, tests/test_packing.py); the
-            # sharded-index path keeps the unpacked eval step
-            self._eval_packed = (
-                self._packed and not task_retrieval.index_sharded_on(cfg)
-            )
+            # top-k (exact vs unpacked, tests/test_packing.py); with a
+            # sharded index the per-segment queries drive the per-shard
+            # top-k + merge. Both paths are exact, so the choice is pure
+            # throughput — data.pack_eval=auto picks the measured-faster
+            # one per shape class (see DataConfig.pack_eval).
+            pe = str(cfg.data.pack_eval).lower()
+            if pe in ("true", "1", "yes", "on"):
+                eval_pack_ok = True
+            elif pe in ("false", "0", "no", "off"):
+                eval_pack_ok = False
+            elif pe == "auto":
+                eval_pack_ok = cfg.data.max_sequence_length >= 512
+            else:
+                raise ValueError(f"Unknown data.pack_eval {cfg.data.pack_eval!r}")
+            self._eval_packed = self._packed and eval_pack_ok
             self.packed_eval_step = (
                 task_retrieval.make_packed_eval_step(
-                    self.model, cfg, self.all_item_ids, self.data.max_item_id
+                    self.model, cfg, self.all_item_ids, self.data.max_item_id,
+                    mesh=self.mesh,
                 )
                 if self._eval_packed
                 else None
@@ -269,11 +285,9 @@ class Trainer:
             self.packed_eval_step_many = (
                 task_retrieval.make_packed_eval_step(
                     self.model, cfg, self.all_item_ids, self.data.max_item_id,
-                    steps=k_eval,
+                    mesh=self.mesh, steps=k_eval,
                 )
-                if self._eval_packed
-                and k_eval > 1
-                and jax.process_count() == 1
+                if self._eval_packed and k_eval > 1
                 else None
             )
         elif self.task == "ranking":
@@ -524,14 +538,26 @@ class Trainer:
             split, process_index=proc_idx, process_count=proc_cnt,
         )
 
-    def _local_rows(self, arr: jax.Array) -> np.ndarray:
+    def _local_rows(self, arr: jax.Array, axis: int = 0) -> np.ndarray:
         """This process's rows of a batch-sharded step output. Single
         process: the whole array. Multi-host: concatenated addressable
-        shards (rows align with the process-local host batch)."""
+        shards along `axis` (0 for per-batch outputs, 1 for the stacked
+        [k, B, ...] batched-dispatch outputs), deduplicated by shard
+        offset — when a model/sp axis is replicated onto this process's
+        devices, each data slice appears once."""
         if jax.process_count() == 1:
             return np.asarray(arr)
-        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[axis].start or 0
+        )
+        parts, seen = [], set()
+        for s in shards:
+            start = s.index[axis].start or 0
+            if start in seen:
+                continue
+            seen.add(start)
+            parts.append(np.asarray(s.data))
+        return np.concatenate(parts, axis=axis)
 
     def _gather_rows(self, arr: np.ndarray) -> np.ndarray:
         """Concatenate per-process eval rows across hosts (the torchmetrics
@@ -578,6 +604,10 @@ class Trainer:
         losses = []
         start = time.time()
         examples = 0
+        progress = ProgressLine(
+            limit, f"epoch {self.epoch}",
+            enabled=None if t_cfg.progress_bar else False,
+        )
         profile_dir = os.path.join(self.out_dir, "profile")
         for i, (batch, dev_batch) in enumerate(self._batches(loader, limit)):
             # jax.profiler trace of steps 2-4 of epoch 0 (the reference's
@@ -609,6 +639,13 @@ class Trainer:
                     self.global_step,
                     self.epoch,
                 )
+            progress.update(
+                i + 1,
+                loss=(losses[-1] if losses else None),
+                lr=self.lr1,
+                **{"ex/s": int(examples / max(time.time() - start, 1e-9))},
+            )
+        progress.close()
         # one final loss read per epoch for the epoch summary
         losses.append(float(out.loss))
         dt = time.time() - start
@@ -631,6 +668,12 @@ class Trainer:
         start = time.time()
         examples = 0
         out = None
+        steps_done = 0
+        last_loss = None
+        progress = ProgressLine(
+            limit, f"epoch {self.epoch}",
+            enabled=None if t_cfg.progress_bar else False,
+        )
         for host_batches, dev_batch, n_steps in self._stacked_batches(loader, limit, k):
             step_fn = multi_step if n_steps == k else self.train_step
             out = step_fn(
@@ -648,12 +691,20 @@ class Trainer:
                 for b in host_batches
             )
             if prev // log_n != self.global_step // log_n:
-                loss_val = float(np.asarray(out.loss).reshape(-1)[-1])
+                last_loss = float(np.asarray(out.loss).reshape(-1)[-1])
                 self.writer.log(
-                    {"train/loss": loss_val, "lr1": self.lr1, "lr2": self.lr2},
+                    {"train/loss": last_loss, "lr1": self.lr1, "lr2": self.lr2},
                     self.global_step,
                     self.epoch,
                 )
+            steps_done += n_steps
+            progress.update(
+                steps_done,
+                loss=last_loss,
+                lr=self.lr1,
+                **{"ex/s": int(examples / max(time.time() - start, 1e-9))},
+            )
+        progress.close()
         final = float(np.asarray(out.loss).reshape(-1)[-1])
         dt = time.time() - start
         log.info(
@@ -700,7 +751,7 @@ class Trainer:
                         ids_k, _, _, _ = self.packed_eval_step_many(
                             self.params, dev, candidates
                         )
-                        ids_k = np.asarray(ids_k)
+                        ids_k = self._local_rows(ids_k, axis=1)
                         for i, hb in enumerate(hbs):
                             valid = hb["seg_weight"] > 0
                             all_topk.append(ids_k[i][valid])
@@ -743,7 +794,7 @@ class Trainer:
                         ids_k, _ = self.eval_step_many(
                             self.params, dev, candidates
                         )
-                        ids_k = np.asarray(ids_k)
+                        ids_k = self._local_rows(ids_k, axis=1)
                         for i, hb in enumerate(hbs):
                             valid = hb["sample_weight"] > 0
                             all_topk.append(ids_k[i][valid])

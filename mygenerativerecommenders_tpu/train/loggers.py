@@ -154,3 +154,64 @@ class MetricsWriter:
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
+
+
+class ProgressLine:
+    """In-place per-step console progress (the reference's
+    configs/callbacks/rich_progress_bar.yaml analog, minus the rich
+    dependency): one `\\r`-rewritten stderr line with step/total, a bar,
+    the latest pulled loss, throughput, and ETA. Renders only when
+    stderr is a TTY (CI/driver logs stay clean) and only on process 0;
+    throttled to `min_interval` seconds so the host loop never blocks on
+    terminal writes."""
+
+    def __init__(
+        self,
+        total: int,
+        prefix: str,
+        enabled: Optional[bool] = None,
+        stream=None,
+        min_interval: float = 0.1,
+    ):
+        self.stream = stream if stream is not None else sys.stderr
+        if enabled is None:
+            enabled = is_main_process() and self.stream.isatty()
+        self.enabled = bool(enabled)
+        self.total = max(int(total), 1)
+        self.prefix = prefix
+        self.min_interval = min_interval
+        self.t0 = time.time()
+        self._last_render = 0.0
+        self._wrote = False
+
+    def update(self, done: int, **stats) -> None:
+        if not self.enabled:
+            return
+        now = time.time()
+        if now - self._last_render < self.min_interval and done < self.total:
+            return
+        self._last_render = now
+        frac = min(done / self.total, 1.0)
+        width = 20
+        filled = int(frac * width)
+        bar = "━" * filled + "─" * (width - filled)
+        elapsed = now - self.t0
+        eta = elapsed / frac - elapsed if frac > 0 else 0.0
+        parts = [
+            f"{self.prefix} {bar} {done}/{self.total}",
+            f"{int(elapsed) // 60}:{int(elapsed) % 60:02d}<"
+            f"{int(eta) // 60}:{int(eta) % 60:02d}",
+        ]
+        for k, v in stats.items():
+            if v is None:
+                continue
+            parts.append(f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}")
+        line = " | ".join(parts)
+        self.stream.write("\r\x1b[2K" + line[:200])
+        self.stream.flush()
+        self._wrote = True
+
+    def close(self) -> None:
+        if self.enabled and self._wrote:
+            self.stream.write("\n")
+            self.stream.flush()

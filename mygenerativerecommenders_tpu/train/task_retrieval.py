@@ -538,7 +538,6 @@ def make_eval_step(
         catalog_padded[: len(catalog)] = catalog
         k_eff = min(k, len(all_item_ids))
 
-        @jax.jit
         def eval_step_sharded(params, batch, candidates):
             seq, _, _ = seq_features_from_batch(batch, max_out)
             input_embeddings = model.apply(
@@ -561,7 +560,21 @@ def make_eval_step(
                 k=k_eff, invalid_ids=invalid,
             )
 
-        return eval_step_sharded
+        if steps > 1:
+            # k stacked batches per dispatch with the per-shard top-k's
+            # collectives INSIDE the scan (shard_map composes with
+            # lax.map under jit) — the 100M-item sharded-index eval gets
+            # the same dispatch amortization as the replicated path
+            @jax.jit
+            def eval_steps_sharded(params, batches, candidates):
+                return jax.lax.map(
+                    lambda bb: eval_step_sharded(params, bb, candidates),
+                    batches,
+                )
+
+            return eval_steps_sharded
+
+        return jax.jit(eval_step_sharded)
 
     def _eval_body(
         params, batch: Dict[str, jax.Array], candidates: jax.Array
@@ -614,6 +627,7 @@ def make_packed_eval_step(
     cfg: Config,
     all_item_ids: np.ndarray,
     max_item_id: int,
+    mesh=None,
     steps: int = 1,
 ) -> Callable:
     """eval_step(params, batch, candidates) -> (ids, scores, targets,
@@ -625,14 +639,27 @@ def make_packed_eval_step(
     segment's own ids (seg_invalid_ids) — a packed row must not filter
     by its neighbors' histories. Per-row results are identical to the
     unpacked eval step for the same examples (tests/test_packing.py).
+
+    With index.sharded resolved on (and the trainer's mesh passed), the
+    per-segment queries drive the ROW-SHARDED per-shard top-k + merge
+    (parallel/topk_sharded.py) — packed eval composes with the
+    100M-item sharded index (the packed loader rounds S_cap to a
+    multiple of the data axis, so the shard_map query spec divides).
     """
     catalog = np.asarray(all_item_ids, dtype=np.int32)
     k = cfg.model.index.k
     quantize = cfg.model.index.quantize
     over_fetch = cfg.model.index.rescore_over_fetch
     filter_past = cfg.model.index.filter_past_ids
+    k_eff = min(k, len(all_item_ids))
 
-    @jax.jit
+    sharded = mesh is not None and index_sharded_on(cfg)
+    if sharded:
+        shards = mesh.shape["model"]
+        x_pad = ((len(catalog) + shards - 1) // shards) * shards
+        catalog_padded = np.zeros(x_pad, dtype=np.int32)
+        catalog_padded[: len(catalog)] = catalog
+
     def eval_step(params, batch, candidates):
         from mygenerativerecommenders_tpu.utils.features import (
             packed_seq_features,
@@ -649,35 +676,51 @@ def make_packed_eval_step(
             encoded.reshape(p * l, d), batch["seg_last_flat"], axis=0
         )  # [S_cap, D]
         invalid = batch["seg_invalid_ids"] if filter_past else None
-        if quantize == "int8":
+        if sharded:
+            from mygenerativerecommenders_tpu.parallel.topk_sharded import (
+                sharded_mips_top_k,
+                sharded_mips_top_k_int8,
+            )
+
+            if quantize == "int8":
+                ids, scores = sharded_mips_top_k_int8(
+                    mesh, queries, candidates.q, candidates.scales,
+                    candidates.exact, jnp.asarray(catalog_padded),
+                    k=k_eff, invalid_ids=invalid, over_fetch=over_fetch,
+                )
+            else:
+                ids, scores = sharded_mips_top_k(
+                    mesh, queries, candidates, jnp.asarray(catalog_padded),
+                    k=k_eff, invalid_ids=invalid,
+                )
+        elif quantize == "int8":
             from mygenerativerecommenders_tpu.ops.quantized_topk import (
                 mips_top_k_int8,
             )
 
             ids, scores = mips_top_k_int8(
                 queries, candidates, jnp.asarray(catalog),
-                k=min(k, len(all_item_ids)), invalid_ids=invalid,
+                k=k_eff, invalid_ids=invalid,
                 max_item_id=max_item_id, over_fetch=over_fetch,
             )
         else:
             ids, scores = mips_top_k(
                 queries, candidates, catalog,
-                k=min(k, len(all_item_ids)), invalid_ids=invalid,
+                k=k_eff, invalid_ids=invalid,
                 max_item_id=max_item_id,
             )
         return ids, scores, batch["seg_target"], batch["seg_weight"]
 
     if steps > 1:
         # k stacked batches per dispatch (same motivation as
-        # make_eval_step(steps=...): per-dispatch host latency)
-        body = eval_step.__wrapped__
-
+        # make_eval_step(steps=...): per-dispatch host latency); the
+        # sharded top-k's collectives ride inside the lax.map
         @jax.jit
         def eval_steps(params, batches, candidates):
             return jax.lax.map(
-                lambda bb: body(params, bb, candidates), batches
+                lambda bb: eval_step(params, bb, candidates), batches
             )
 
         return eval_steps
 
-    return eval_step
+    return jax.jit(eval_step)

@@ -27,6 +27,7 @@ def apply_mode(cfg, mode: str) -> None:
     boundary (VERDICT r3 item 5; SURVEY §7 hard-part 6)."""
     if mode == "packed":
         cfg.data.pack_sequences = True
+        cfg.data.pack_eval = "true"  # short-N smoke: force the packed eval path under test
     elif mode == "a2a_tp":
         cfg.model.embedding.kind = "sharded_a2a"
         cfg.model.embedding.num_shards = 2
@@ -40,6 +41,18 @@ def apply_mode(cfg, mode: str) -> None:
         cfg.model.encoder.sp_zigzag = True
         cfg.trainer.mesh_data_innermost = True
         cfg.data.batch_size = 16
+    elif mode == "packed_sharded":
+        # the full r5 composition: packed train AND packed eval driving
+        # the row-sharded candidate index (per-shard top-k + merge) with
+        # BATCHED eval dispatch (steps_per_call stacked batches/call),
+        # the model axis spanning the two processes
+        cfg.data.pack_sequences = True
+        cfg.data.pack_eval = "true"  # short-N smoke: force the packed eval path under test
+        cfg.model.embedding.kind = "sharded_a2a"
+        cfg.model.embedding.num_shards = 2
+        cfg.trainer.mesh_data_innermost = True
+        cfg.data.batch_size = 16
+        cfg.trainer.steps_per_call = 2
     elif mode != "padded":
         raise ValueError(f"unknown mode {mode}")
 
@@ -76,9 +89,9 @@ def main():
     apply_mode(cfg, mode)
 
     trainer = Trainer(cfg)
-    if mode in ("a2a_tp", "ring"):
+    if mode in ("a2a_tp", "ring", "packed_sharded"):
         # the sharded axis must REALLY span the two processes
-        axis = "model" if mode == "a2a_tp" else "sp"
+        axis = "sp" if mode == "ring" else "model"
         ax_idx = list(trainer.mesh.axis_names).index(axis)
         spine = np.moveaxis(trainer.mesh.devices, ax_idx, 0).reshape(
             trainer.mesh.shape[axis], -1

@@ -25,7 +25,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.parametrize(
-    "mode", ["padded", "packed", "a2a_tp", "ring"]
+    "mode", ["padded", "packed", "a2a_tp", "ring", "packed_sharded"]
 )
 def test_two_process_training_matches_single_process(tmp_path, mode):
     """padded/packed cover DP; a2a_tp runs the owner-routed all-to-all

@@ -281,6 +281,7 @@ def test_trainer_packed_fast_dev_run(tmp_path):
     cfg.data.data_dir = str(tmp_path / "data")
     cfg.trainer.output_dir = str(tmp_path / "out")
     cfg.data.pack_sequences = True
+    cfg.data.pack_eval = "true"  # short-N smoke: keep packed eval in-fit
     cfg.model.loss.shared_negatives = True
     cfg.trainer.fast_dev_run = True
     trainer = Trainer(cfg)
@@ -301,6 +302,7 @@ def test_trainer_packed_multistep(tmp_path):
     cfg.data.data_dir = str(tmp_path / "data")
     cfg.trainer.output_dir = str(tmp_path / "out")
     cfg.data.pack_sequences = True
+    cfg.data.pack_eval = "true"
     cfg.trainer.steps_per_call = 2
     cfg.trainer.max_epochs = 1
     cfg.trainer.min_epochs = 1
@@ -529,6 +531,7 @@ def test_packed_predict_preserves_dataset_order(tmp_path):
         cfg.data.data_dir = str(tmp_path / "data")
         cfg.trainer.output_dir = str(tmp_path / f"out{packed}")
         cfg.data.pack_sequences = packed
+        cfg.data.pack_eval = "true"  # exercise the PACKED predict path
         trainer = Trainer(cfg)
         try:
             return trainer.predict()

@@ -114,3 +114,81 @@ def test_sharded_int8_eval_matches_replicated_int8(tmp_path):
             results["auto"][key], results["false"][key], rtol=1e-6,
             err_msg=f"metric {key} differs under sharded int8 eval",
         )
+
+
+def test_sharded_eval_batched_dispatch_matches(tmp_path):
+    """Batched eval dispatch (trainer.steps_per_call stacked batches per
+    device call) with the SHARDED index: the per-shard top-k's
+    collectives ride inside the lax.map, and the metrics must equal the
+    per-batch sharded eval exactly (VERDICT r4 item 4 — previously the
+    sharded index was pinned to per-batch dispatch)."""
+    import numpy as np
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    results = {}
+    for k_eval in (1, 3):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out_k{k_eval}")
+        cfg.model.embedding.kind = "sharded_a2a"
+        cfg.model.embedding.num_shards = 2
+        cfg.model.index.sharded = "auto"
+        cfg.trainer.steps_per_call = k_eval
+        trainer = Trainer(cfg)
+        try:
+            if k_eval > 1:
+                assert trainer.eval_step_many is not None
+            results[k_eval] = trainer.eval_epoch(
+                trainer.data.loader("val"), "val"
+            )
+        finally:
+            trainer.close()
+    for key in results[1]:
+        np.testing.assert_allclose(
+            results[3][key], results[1][key], rtol=1e-6,
+            err_msg=f"metric {key} differs under batched sharded eval",
+        )
+
+
+def test_packed_sharded_eval_matches_unpacked_replicated(tmp_path):
+    """pack_sequences x index.sharded x batched dispatch: the packed
+    per-segment queries drive the row-sharded per-shard top-k + merge,
+    and metrics must equal the plain (unpacked, replicated-index) eval
+    exactly — both paths are individually exact, so so is the
+    composition (VERDICT r4 item 4)."""
+    import numpy as np
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    results = {}
+    for mode in ("plain", "packed_sharded", "packed_sharded_batched"):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out_{mode}")
+        if mode != "plain":
+            cfg.data.pack_sequences = True
+            cfg.data.pack_eval = "true"  # short-N smoke: force packed eval
+            cfg.model.embedding.kind = "sharded_a2a"
+            cfg.model.embedding.num_shards = 2
+            cfg.model.index.sharded = "auto"
+        if mode == "packed_sharded_batched":
+            cfg.trainer.steps_per_call = 2
+        trainer = Trainer(cfg)
+        try:
+            if mode != "plain":
+                assert trainer._eval_packed  # gate lifted for sharded
+                loader = trainer._loader("val", packed=True)
+            else:
+                loader = trainer.data.loader("val")
+            results[mode] = trainer.eval_epoch(loader, "val")
+        finally:
+            trainer.close()
+    for key in results["plain"]:
+        for mode in ("packed_sharded", "packed_sharded_batched"):
+            np.testing.assert_allclose(
+                results[mode][key], results["plain"][key], rtol=1e-6,
+                err_msg=f"metric {key} differs under {mode} eval",
+            )
