@@ -10,25 +10,34 @@ HBM traffic is O(B*N*D) instead of O(B*N^2):
   out[b,n,h,:] = sum_m  silu(q.k + pos_bias[n,m] + ts_w[bucket(dt)]) / N
                        * causal(n,m) * v[b,m,h,:]
 
+- operands ride in the model's NATIVE [B, N, H*dh] layout (the [B, N, H,
+  dh] head split is a free minor-dim merge): heads are processed by a
+  STATIC in-kernel loop over lane slices [h*dh, (h+1)*dh), so the old
+  [B*H, NP, 128] fold (transpose + reshape + 128-pad per tensor, per
+  block, fwd AND bwd) is gone — the r5 long-N trace showed ~10 ms/step
+  of that layout traffic at 8 blocks. Only the N-pad remains. The
+  relative bias depends on (timestamps, positions) only, so it is
+  generated ONCE per tile and shared across heads;
 - the position bias is batch-independent and block-Toeplitz (tile
   content depends only on kj - qi), so ONE [BQ, NP] stripe serves every
   tile via a lane slice — fetched once per pallas_call;
 - the time-bucket gather ts_w[bucket] is computed in-kernel as Mosaic
   lane gathers (take_along_axis against a lane-broadcast table chunk,
-  one gather + select per 128 table lanes) — ~2x faster per tile than
-  the previous select-accumulate bucket sweep and independent of the
-  tile's bucket range (the sweep degraded on wide timestamp spans);
+  one gather + select per 128 table lanes);
 - per-sequence `lengths` (scalar prefetch) bound the tile loops: query
   and key tiles beyond each sequence's valid rows are never computed —
   the jagged no-padding-waste property, exact by construction;
 - the backward is a fully-fused Pallas kernel that RECOMPUTES z tiles
   flash-attention style (custom_vjp saves only the raw inputs — nothing
   [N, N]-shaped survives the forward), forming dq/dk/dv in-kernel and
-  emitting only the head-summed dz for the bias-table gradients.
+  accumulating both bias-table gradients in-kernel per tile (d_pos_w
+  via the barrel-rotate diagonal skew, d_ts_w via the occurring-bucket
+  sweep over the head-summed dz — computed inline, so no dz buffer
+  exists anywhere, not even in VMEM scratch).
 
-Tile sizes: BQ = BK = 128 (MXU-native), head dim padded to a multiple
-of 128 lanes handled by XLA layout (we pad to >=8 sublane, 128 lane
-alignment via the wrapper's zero-padding).
+Tile sizes: BQ = BK = 128 (MXU-native); the head dim stays at its
+native size (a 64-deep MXU contraction occupies the same pass as a
+zero-padded 128-deep one, at half the DMA bytes).
 """
 
 from __future__ import annotations
@@ -70,6 +79,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _feature_pad(d: int) -> int:
+    """Feature (minor) dim padding for the kernel operands. Lane-dim
+    blocks need not be 128-wide when the block covers the WHOLE array
+    dim (Mosaic pads the registers internally): keeping D at its 8-
+    rounded size instead of 128 halves the q/k/v/g DMA bytes at D=64,
+    while the MXU passes are unchanged (a 64-deep contraction occupies
+    the same pass as a zero-padded 128-deep one)."""
+    return _round_up(d, 128) if d >= 128 else _round_up(d, 8)
+
 
 def _ts_bias_gather(bucket, tsw_ref, num_buckets):
     """ts_w[bucket] via Mosaic lane gathers: one take_along_axis against a
@@ -90,11 +108,18 @@ def _ts_bias_gather(bucket, tsw_ref, num_buckets):
         out = jnp.where(sel, g, out)
     return out
 
+
+def _head_cols(ref, h, dh):
+    """Static lane-slice of head h from a [.., H*dh] block (constant
+    offsets — no 128-alignment requirement)."""
+    return ref[..., h * dh:(h + 1) * dh]
+
+
 def _kernel(
-    len_ref,  # scalar prefetch: [B*H] int32 per-sequence valid length
-    q_ref,  # [1, BQ, D]
-    k_ref,  # [1, NP, D]
-    v_ref,  # [1, NP, DV]
+    len_ref,  # scalar prefetch: [B] int32 per-sequence valid length
+    q_ref,  # [1, BQ, H*dh]
+    k_ref,  # [1, NP, H*dh]
+    v_ref,  # [1, NP, H*dvh]
     tsq_ref,  # [1, 1, NP]  next-item timestamps for query rows
     tsk_ref,  # [1, 1, NP]  timestamps for key cols
     *rest,  # [seg_ref [1, 1, NP] when has_seg,] posb_ref, tsw_ref, out_ref
@@ -103,17 +128,19 @@ def _kernel(
     num_buckets: int,
     inv_n: float,
     n_valid: int,
+    num_heads: int,
+    dh: int,
+    dvh: int,
     has_seg: bool = False,
 ):
     if has_seg:
         seg_ref, posb_ref, tsw_ref, out_ref = rest
     else:
         seg_ref, (posb_ref, tsw_ref, out_ref) = None, rest
-    qi = pl.program_id(2)
+    qi = pl.program_id(1)
     np_total = k_ref.shape[1]
     seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)  # [BQ]
     if has_seg:
         # packed rows: seg_ref carries WITHIN-SEGMENT positions, so each
@@ -127,25 +154,18 @@ def _kernel(
         pos_q = seg_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)  # [BQ]
         seg_start_q = qi * bq + jax.lax.iota(jnp.int32, bq) - pos_q
 
-    acc = jnp.zeros((bq, v_ref.shape[2]), dtype=jnp.float32)
-
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    k_off = (np_total - bq) // bk
+    qs = [
+        _head_cols(q_ref[0], h, dh).astype(jnp.float32)
+        for h in range(num_heads)
+    ]
 
-    def body(kj, acc):
-        k_tile = k_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)  # [BK, D]
-        v_tile = v_ref[0, pl.ds(kj * bk, bk), :].astype(jnp.float32)  # [BK, DV]
+    def body(kj, accs):
         tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)  # [BK]
-
-        s = jax.lax.dot_general(
-            q, k_tile,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
-
         # bias: block-Toeplitz positional stripe slice (tile content
         # depends only on kj*bk - qi*bq) + in-kernel time-bucket lane
-        # gather; K = (NP - bq)/bk shifts the most-negative offset to 0
-        k_off = (np_total - bq) // bk
+        # gather — computed ONCE and shared across heads
         bias = posb_ref[:, pl.ds((kj - qi * (bq // bk) + k_off) * bk, bk)].astype(
             jnp.float32
         )
@@ -153,21 +173,33 @@ def _kernel(
         bucket = bucketize_timedelta(delta, num_buckets)  # [BQ, BK] int32
         bias = bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
 
-        a = jax.nn.silu(s + bias) * inv_n
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        causal = row_ids >= col_ids
-        in_range = jnp.logical_and(col_ids < seq_len, row_ids < seq_len)
-        live = jnp.logical_and(causal, in_range)
+        live = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
+        live = jnp.logical_and(live, row_ids < seq_len)
         if has_seg:
             # same segment <=> col within [seg_start, row] (causal above)
             live = jnp.logical_and(live, col_ids >= seg_start_q[:, None])
-        a = jnp.where(live, a, 0.0)
 
-        return acc + jax.lax.dot_general(
-            a, v_tile,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        new = []
+        for h in range(num_heads):
+            k_tile = _head_cols(
+                k_ref[0, pl.ds(kj * bk, bk)], h, dh
+            ).astype(jnp.float32)
+            v_tile = _head_cols(
+                v_ref[0, pl.ds(kj * bk, bk)], h, dvh
+            ).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qs[h], k_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            a = jnp.where(live, jax.nn.silu(s + bias) * inv_n, 0.0)
+            new.append(accs[h] + jax.lax.dot_general(
+                a, v_tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        return tuple(new)
 
     # jagged + causal tile skipping: key blocks beyond the current query
     # block OR beyond this sequence's valid length contribute nothing;
@@ -180,10 +212,14 @@ def _kernel(
         # start are entirely cross-segment — skip them
         kj_lo = jnp.maximum(jnp.min(seg_start_q), 0) // bk
         kj_lo = jnp.minimum(kj_lo, n_kj)
-    acc = jax.lax.fori_loop(kj_lo, n_kj, body, acc)
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-
+    accs = jax.lax.fori_loop(
+        kj_lo, n_kj, body,
+        tuple(
+            jnp.zeros((bq, dvh), dtype=jnp.float32) for _ in range(num_heads)
+        ),
+    )
+    out = accs[0] if num_heads == 1 else jnp.concatenate(accs, axis=-1)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def hstu_attention_fused(
@@ -236,9 +272,47 @@ def _fused_len(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_
     )
 
 
-def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets):
+def _prepare(q, k, v, timestamps, max_len):
+    """Shared layout prep: merge the head split into the native
+    [B, N, H*dh] row-major layout (a FREE minor-dim reshape) and pad the
+    sequence dim to the 128-tile. No transpose, no feature pad."""
     b, n, h, dqk = q.shape
-    dv = v.shape[-1]
+    dv_dim = v.shape[-1]
+    bk = 128  # lane-dim slices must be 128-aligned on TPU
+    np_total = _round_up(n, bk)
+    bq = _pick_bq(np_total)
+
+    def pad_to(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    def merge(x, d):
+        return pad_to(x.reshape(b, n, h * d), np_total, 1)
+
+    qm, km = merge(q, dqk), merge(k, dqk)
+    vm = merge(v, dv_dim)
+
+    ts = timestamps.astype(jnp.int32)
+    ts_next = pad_to(jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1), np_total, 1)
+    ts_key = pad_to(ts, np_total, 1)
+    ts_next, ts_key = ts_next[:, None, :], ts_key[:, None, :]
+    return dict(
+        b=b, n=n, h=h, dqk=dqk, dv=dv_dim, bq=bq, bk=bk,
+        np_total=np_total,
+        qm=qm, km=km, vm=vm, ts_next=ts_next, ts_key=ts_key,
+        pad_to=pad_to, merge=merge,
+    )
+
+
+def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets):
+    pr = _prepare(q, k, v, timestamps, max_len)
+    b, n, h = pr["b"], pr["n"], pr["h"]
+    bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
+    dqk, dv = pr["dqk"], pr["dv"]
     # n < max_len under length-bucketed batching: the 1/max_len normalizer
     # and the pos-table center stay at the full static length (the
     # reference normalizes by its constant mask buffer size, hstu.py:193)
@@ -249,44 +323,9 @@ def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     assert seg_pos is not None or n <= max_len, (
         f"sequence dim {n} > max_len {max_len}"
     )
-
-    bk = 128  # lane-dim slices must be 128-aligned on TPU
-    np_total = _round_up(n, bk)
-    bq = _pick_bq(np_total)
-    d_pad = _round_up(dqk, 128)
-    dv_pad = _round_up(dv, 128)
-
-    def pad_to(x, target, axis):
-        pad = target - x.shape[axis]
-        if pad == 0:
-            return x
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, pad)
-        return jnp.pad(x, widths)
-
-    # fold heads into batch; pad seq + feature dims to tile boundaries
-    qf = pad_to(pad_to(q.transpose(0, 2, 1, 3).reshape(b * h, n, dqk), np_total, 1), d_pad, 2)
-    kf = pad_to(pad_to(k.transpose(0, 2, 1, 3).reshape(b * h, n, dqk), np_total, 1), d_pad, 2)
-    vf = pad_to(pad_to(v.transpose(0, 2, 1, 3).reshape(b * h, n, dv), np_total, 1), dv_pad, 2)
-
-    ts = timestamps.astype(jnp.int32)
-    ts_next = jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1)  # ext[n+1]
-    ts_next = pad_to(ts_next, np_total, 1)
-    ts_key = pad_to(ts, np_total, 1)
     has_seg = seg_pos is not None
-    if has_seg:
-        seg = pad_to(seg_pos.astype(jnp.int32), np_total, 1)
-    if h > 1:
-        ts_next = jnp.repeat(ts_next, h, axis=0)
-        ts_key = jnp.repeat(ts_key, h, axis=0)
-        if has_seg:
-            seg = jnp.repeat(seg, h, axis=0)
-    # 3-D layout so the (sublane, lane) block dims can cover the full row
-    ts_next = ts_next[:, None, :]
-    ts_key = ts_key[:, None, :]
 
     pos_bias = _pos_toeplitz(pos_w, np_total, max_len, bq, bk)  # [BQ, NP]
-
     # lane-pad the table so the chunked lane gather's 128-wide slices
     # never run past the array (no-op at the reference's 129 entries,
     # where the final chunk is a single select)
@@ -296,27 +335,26 @@ def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
         ((0, 0), (0, _round_up(nb1, 128) - nb1)),
     )
 
-    n_q_blocks = np_total // bq
-    grid = (b * h, 1, n_q_blocks)
-    lens_bh = jnp.repeat(lengths, h) if h > 1 else lengths
-
-    row_spec = pl.BlockSpec((1, 1, np_total), lambda bh, _, qi, lens: (bh, 0, 0))
+    grid = (b, np_total // bq)
+    row_spec = pl.BlockSpec((1, 1, np_total), lambda bi, qi, lens: (bi, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, bq, d_pad), lambda bh, _, qi, lens: (bh, qi, 0)),
-        pl.BlockSpec((1, np_total, d_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
-        pl.BlockSpec((1, np_total, dv_pad), lambda bh, _, qi, lens: (bh, 0, 0)),
+        pl.BlockSpec((1, bq, h * dqk), lambda bi, qi, lens: (bi, qi, 0)),
+        pl.BlockSpec((1, np_total, h * dqk), lambda bi, qi, lens: (bi, 0, 0)),
+        pl.BlockSpec((1, np_total, h * dv), lambda bi, qi, lens: (bi, 0, 0)),
         row_spec,
         row_spec,
     ]
-    inputs = [lens_bh, qf, kf, vf, ts_next, ts_key]
+    inputs = [lengths, pr["qm"], pr["km"], pr["vm"], pr["ts_next"], pr["ts_key"]]
     if has_seg:
         in_specs.append(row_spec)
-        inputs.append(seg[:, None, :])
+        inputs.append(
+            pr["pad_to"](seg_pos.astype(jnp.int32), np_total, 1)[:, None, :]
+        )
     in_specs.extend([
-        pl.BlockSpec((bq, np_total), lambda bh, _, qi, lens: (0, 0)),
+        pl.BlockSpec((bq, np_total), lambda bi, qi, lens: (0, 0)),
         pl.BlockSpec(
             (1, _round_up(num_buckets + 1, 128)),
-            lambda bh, _, qi, lens: (0, 0),
+            lambda bi, qi, lens: (0, 0),
         ),
     ])
     inputs.extend([pos_bias, ts_w_2d])
@@ -324,11 +362,9 @@ def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     out = pl.pallas_call(
         functools.partial(
             _kernel,
-            bq=bq,
-            bk=bk,
-            num_buckets=num_buckets,
-            inv_n=1.0 / max_len,
-            n_valid=n,
+            bq=bq, bk=bk, num_buckets=num_buckets,
+            inv_n=1.0 / max_len, n_valid=n,
+            num_heads=h, dh=dqk, dvh=dv,
             has_seg=has_seg,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -336,12 +372,12 @@ def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, bq, dv_pad), lambda bh, _, qi, lens: (bh, qi, 0)
+                (1, bq, h * dv), lambda bi, qi, lens: (bi, qi, 0)
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, np_total, dv_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, np_total, h * dv), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * n * n * (dqk + dv),
@@ -350,8 +386,7 @@ def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
         ),
     )(*inputs)
 
-    out = out[:, :n, :dv].reshape(b, h, n, dv).transpose(0, 2, 1, 3)
-    return out
+    return out[:, :n].reshape(b, n, h, dv)
 
 
 def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
@@ -371,39 +406,39 @@ def _jnp_equivalent(q, k, v, timestamps, pos_w, ts_w, max_len, num_buckets):
 #   dp = g @ v^T
 #   dz = dp * (sig + z*sig*(1-sig)) * (1/N) * mask   (silu' chain)
 #   dq = dz @ k ; dk = dz^T @ q ; dv = p^T @ g       (in-kernel)
-#   d_pos_w[(m-n)+N-1] += sum_b dz ; d_ts_w[bucket(dt)] += dz
+#   d_pos_w[(m-n)+N-1] += sum_bh dz ; d_ts_w[bucket(dt)] += sum_h dz
 #
-# vs the previous saved-z design this removes the [B*H, NP, NP] f32 z
-# residual entirely — 1.4 GB of HBM at ml-20m-long shapes (which forced
-# encoder.remat at B=128) plus its write+read traffic, at the cost of one
-# extra dot + the bias generation per LIVE tile. Dead tiles (beyond the
-# causal frontier or the sequence length) skip all five dots via
-# lax.cond. The only [B, N, N]-shaped HBM output is the HEAD-SUMMED dz
-# (what the bias-table gradients consume — buckets/offsets are
-# head-independent). Grid is (b, qi, h) with h INNERMOST so the dzh
-# output block (index (b, qi), constant across h) accumulates across
-# consecutive steps in VMEM; dk/dv accumulate across qi in per-b resident
-# [H, NP, D] output blocks (index (b,), written once per b).
+# Heads run as a STATIC in-kernel loop (operands in [B, NP, H*dh]
+# layout), so the head-summed dz needed by the bias-table gradients is
+# just the inline sum across that loop — the [B, NP, NP] dzh buffer of
+# the pre-r5 design (HBM output, then VMEM scratch) no longer exists at
+# all, and the bucket sweep reuses the tile's already-computed buckets.
+# Grid is (b, qi); dk/dv accumulate across qi in per-b resident
+# [NP, H*dh] output blocks (written once per b); dead tiles (beyond the
+# causal frontier or the sequence length) are never iterated.
 # --------------------------------------------------------------------------
 
 
 def _bwd_fused_kernel(
     len_ref,  # scalar prefetch: [B] int32 per-sequence valid length
-    k_ref,  # [1, H, NP, D]   resident per b
-    v_ref,  # [1, H, NP, DV]  resident per b
-    q_ref,  # [1, BQ, D]      (b*H+h, qi)
-    g_ref,  # [1, BQ, DV]     cotangent tile (b*H+h, qi)
-    tsq_ref,  # [1, 1, NP] next-item timestamps (per b)
-    tsk_ref,  # [1, 1, NP] key timestamps (per b)
+    k_ref,  # [1, NP, H*dh]   resident per b
+    v_ref,  # [1, NP, H*dvh]  resident per b
+    q_ref,  # [1, BQ, H*dh]
+    g_ref,  # [1, BQ, H*dvh]  cotangent tile
+    tsq_ref,  # [1, 1, NP] next-item timestamps
+    tsk_ref,  # [1, 1, NP] key timestamps
     *rest,  # [seg_ref [1, 1, NP] when has_seg,] posb_ref, tsw_ref, then
-    # outputs: dq_ref [1, BQ, D], dk_ref [1, H, NP, D] (accumulated
-    # across qi, resident per b), dv_ref [1, H, NP, DV],
-    # dzh_ref [1, BQ, NP] (head-summed dz, accumulated across h)
+    # outputs: dq_ref [1, BQ, H*dh], dk_ref [1, NP, H*dh] (accumulated
+    # across qi, resident per b), dv_ref [1, NP, H*dvh], and the
+    # bias-table accumulators (see dtw_in_kernel)
     bq: int,
     bk: int,
     num_buckets: int,
     inv_n: float,
     n_valid: int,
+    num_heads: int,
+    dh: int,
+    dvh: int,
     has_seg: bool = False,
     dtw_in_kernel: bool = True,
 ):
@@ -413,125 +448,124 @@ def _bwd_fused_kernel(
         seg_ref = None
     posb_ref, tsw_ref, dq_ref, dk_ref, dv_ref = rest[:5]
     if dtw_in_kernel:
-        # dzh is VMEM scratch; both bias-table grads leave as stripes
-        dpw_ref, dtw_ref, dzh_ref = rest[5:]
+        # both bias-table grads leave as grid-resident stripes
+        dpw_ref, dtw_ref = rest[5:]
+        dzh_ref = None
     else:
-        # short sequences: dzh leaves via HBM for the XLA d_ts_w einsum
-        # (cheap at small NP^2; the in-kernel sweep's serialized scalar
-        # reductions don't amortize there — measured 25.6k -> 18.8k
-        # ex/s on packed ml-1m at NP=256)
+        # short sequences: head-summed dz leaves via HBM for the XLA
+        # d_ts_w einsum (cheap at small NP^2; the in-kernel sweep's
+        # serialized scalar reductions don't amortize there — measured
+        # 25.6k -> 18.8k ex/s on packed ml-1m at NP=256)
         dzh_ref, dpw_ref = rest[5:]
         dtw_ref = None
     qi = pl.program_id(1)
-    h = pl.program_id(2)
-    np_total = k_ref.shape[2]
+    np_total = k_ref.shape[1]
     k_off = (np_total - bq) // bk
     seq_len = jnp.minimum(len_ref[pl.program_id(0)], n_valid)
 
-    q = q_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
     tsq = tsq_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
     if has_seg:
         # seg_ref carries within-segment positions (see forward kernel)
         pos_q = seg_ref[0, 0, pl.ds(qi * bq, bq)].astype(jnp.int32)
         seg_start_q = qi * bq + jax.lax.iota(jnp.int32, bq) - pos_q
     row_ids = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-    d_dim, dv_dim = k_ref.shape[3], v_ref.shape[3]
 
-    # the accumulated out blocks (dk/dv resident per b across (qi, h);
-    # dzh resident per (b, qi) across h) are zeroed ONCE in VMEM, so the
-    # k-loop below can run over the LIVE tile range only — dead tiles
-    # (past the causal frontier or the sequence length) are never
-    # iterated, matching the forward's jagged skipping. Previously every
-    # (kj, qi, h) tile paid the accumulate-writes even when dead, which
-    # made the backward's cost independent of sequence length.
-    @pl.when(jnp.logical_and(qi == 0, h == 0))
+    qs = [
+        _head_cols(q_ref[0], h, dh).astype(jnp.float32)
+        for h in range(num_heads)
+    ]
+    gs = [
+        _head_cols(g_ref[0], h, dvh).astype(jnp.float32)
+        for h in range(num_heads)
+    ]
+
+    # the accumulated out blocks (dk/dv resident per b across qi) are
+    # zeroed ONCE in VMEM, so the k-loop below can run over the LIVE
+    # tile range only — dead tiles are never iterated, matching the
+    # forward's jagged skipping
+    @pl.when(qi == 0)
     def _init_kv():
         dk_ref[0] = jnp.zeros(dk_ref.shape[1:], dk_ref.dtype)
         dv_ref[0] = jnp.zeros(dv_ref.shape[1:], dv_ref.dtype)
 
-    @pl.when(h == 0)
-    def _init_dzh():
+    if dzh_ref is not None:
         dzh_ref[0] = jnp.zeros(dzh_ref.shape[1:], dzh_ref.dtype)
 
     # the bias-table accumulators (constant block index: VMEM-resident
-    # for the WHOLE grid, summed over b, h, and every tile) zero once at
+    # for the WHOLE grid, summed over b and every tile) zero once at
     # the very first grid step
-    @pl.when(
-        jnp.logical_and(pl.program_id(0) == 0, jnp.logical_and(qi == 0, h == 0))
-    )
-    def _init_dpw():
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, qi == 0))
+    def _init_acc():
         dpw_ref[...] = jnp.zeros(dpw_ref.shape, dpw_ref.dtype)
         if dtw_in_kernel:
             dtw_ref[...] = jnp.zeros(dtw_ref.shape, dtw_ref.dtype)
 
-    def body(kj, dq_blk):
+    if dtw_in_kernel:
+        lane_tw = jax.lax.broadcasted_iota(jnp.int32, (1, dtw_ref.shape[1]), 1)
+
+    def body(kj, dq_accs):
         col_ids = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        k_tile = k_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
-        v_tile = v_ref[0, h, pl.ds(kj * bk, bk), :].astype(jnp.float32)
         mask = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
         mask = jnp.logical_and(mask, row_ids < seq_len)
         if has_seg:
             mask = jnp.logical_and(mask, col_ids >= seg_start_q[:, None])
 
-        # recompute z exactly as the forward kernel does
-        s = jax.lax.dot_general(
-            q, k_tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # recompute the shared bias exactly as the forward kernel does
         bias = posb_ref[:, pl.ds((kj - qi * (bq // bk) + k_off) * bk, bk)].astype(
             jnp.float32
         )
         tsk = tsk_ref[0, 0, pl.ds(kj * bk, bk)].astype(jnp.int32)
-        delta = tsq[:, None] - tsk[None, :]
-        bucket = bucketize_timedelta(delta, num_buckets)
-        z = s + bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
-        sig = jax.nn.sigmoid(z)
-        p = jnp.where(mask, z * sig * inv_n, 0.0)
+        bucket = bucketize_timedelta(tsq[:, None] - tsk[None, :], num_buckets)
+        bias = bias + _ts_bias_gather(bucket, tsw_ref, num_buckets)
 
-        dp = jax.lax.dot_general(
-            g, v_tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dsilu = sig + z * sig * (1.0 - sig)
-        dz = jnp.where(mask, dp * dsilu * inv_n, 0.0)
-
-        dq_c = jax.lax.dot_general(
-            dz, k_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk_c = jax.lax.dot_general(
-            dz, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dv_c = jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-        dq_blk = dq_blk + dq_c
         sl = pl.ds(kj * bk, bk)
-        dk_ref[0, h, sl, :] = dk_ref[0, h, sl, :] + dk_c
-        dv_ref[0, h, sl, :] = dv_ref[0, h, sl, :] + dv_c
-        # head-summed dz accumulates across h (innermost grid dim, so the
-        # dzh block stays resident between h steps)
-        dzh_ref[0, :, sl] = dzh_ref[0, :, sl] + dz
+        dz_sum = jnp.zeros((bq, bk), dtype=jnp.float32)
+        new_dq = []
+        for h in range(num_heads):
+            k_tile = _head_cols(k_ref[0, sl], h, dh).astype(jnp.float32)
+            v_tile = _head_cols(v_ref[0, sl], h, dvh).astype(jnp.float32)
+            s = jax.lax.dot_general(
+                qs[h], k_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            z = s + bias
+            sig = jax.nn.sigmoid(z)
+            p = jnp.where(mask, z * sig * inv_n, 0.0)
+            dp = jax.lax.dot_general(
+                gs[h], v_tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dz = jnp.where(mask, dp * (sig + z * sig * (1.0 - sig)) * inv_n, 0.0)
+            new_dq.append(dq_accs[h] + jax.lax.dot_general(
+                dz, k_tile, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dk_c = jax.lax.dot_general(
+                dz, qs[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dv_c = jax.lax.dot_general(
+                p, gs[h], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            hc = slice(h * dh, (h + 1) * dh)
+            dk_ref[0, sl, hc] = dk_ref[0, sl, hc] + dk_c
+            hcv = slice(h * dvh, (h + 1) * dvh)
+            dv_ref[0, sl, hcv] = dv_ref[0, sl, hcv] + dv_c
+            dz_sum = dz_sum + dz
 
         # ---- d_pos_w in-kernel: the positional-bias gradient is the
         # per-DIAGONAL sum of dz over every tile, batch, and head. Skew
         # the tile so diagonals align into lanes (a log2(bq)-step barrel
         # rotate: roll row r left by r), column-sum, and accumulate into
         # the grid-resident [1, NP+BQ] stripe at this tile's 128-aligned
-        # lane offset. Replaces an XLA Kronecker-one-hot einsum over the
-        # [NP, NP] dz sum that cost ~2.4 ms/block at NP=1152 (~40% of the
-        # long-N step together with d_ts_w, PERFORMANCE.md r3). Element
-        # dz[r, c] is diagonal d = c - r + (kj*bk - qi*bq); it lands at
-        # skew lane u = c - r + bq in [1, bq+bk), so stripe index
-        # np_total + d = base + u with base = np_total + kj*bk - qi*bq
-        # - bq — a multiple of 128 by construction.
+        # lane offset. Element dz[r, c] is diagonal d = c - r + (kj*bk -
+        # qi*bq); it lands at skew lane u = c - r + bq in [1, bq+bk), so
+        # stripe index np_total + d = base + u with base = np_total +
+        # kj*bk - qi*bq - bq — a multiple of 128 by construction.
         ws = bq + bk
         sk = jnp.concatenate(
-            [jnp.zeros((bq, bq), dtype=jnp.float32), dz], axis=1
+            [jnp.zeros((bq, bq), dtype=jnp.float32), dz_sum], axis=1
         )  # [bq, ws]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (bq, ws), 0)
         shift = 1
@@ -543,7 +577,33 @@ def _bwd_fused_kernel(
         # single trailing *bk so Mosaic can prove 128-divisibility
         base = (np_total // bk + kj - (qi + 1) * (bq // bk)) * bk
         dpw_ref[:, pl.ds(base, ws)] = dpw_ref[:, pl.ds(base, ws)] + colsum
-        return dq_blk
+
+        if dtw_in_kernel:
+            # ---- d_ts_w inline: sweep this tile's OCCURRING bucket
+            # range over the head-summed dz, reusing the buckets already
+            # computed for the bias. Buckets are log-scaled in the time
+            # delta, so a tile of a sorted-timestamp sequence spans only
+            # a handful of values — the dynamic [bmin, bmax] trip count
+            # pays per OCCURRING value. 8 bucket values per iteration:
+            # the 8 masked sums are independent (ILP hides the
+            # scalar-reduce latency).
+            bmin = jnp.min(jnp.where(mask, bucket, num_buckets + 1))
+            bmax = jnp.max(jnp.where(mask, bucket, -1))
+
+            def bucket_body(i8, c):
+                t0 = bmin + i8 * 8
+                upd = jnp.zeros((1, dtw_ref.shape[1]), jnp.float32)
+                for kk in range(8):
+                    t = t0 + kk
+                    s_ = jnp.sum(jnp.where(bucket == t, dz_sum, 0.0))
+                    upd = upd + s_ * (lane_tw == t).astype(jnp.float32)
+                dtw_ref[...] = dtw_ref[...] + upd
+                return c
+
+            jax.lax.fori_loop(0, (bmax + 1 - bmin + 7) // 8, bucket_body, 0)
+        else:
+            dzh_ref[0, :, sl] = dz_sum
+        return tuple(new_dq)
 
     # live tile range, exactly as the forward: key blocks <= the causal
     # frontier AND within this sequence's length; dead query blocks run
@@ -555,67 +615,12 @@ def _bwd_fused_kernel(
     if has_seg:
         kj_lo = jnp.maximum(jnp.min(seg_start_q), 0) // bk
         kj_lo = jnp.minimum(kj_lo, n_kj)
-    dq = jax.lax.fori_loop(
-        kj_lo, n_kj, body, jnp.zeros((bq, d_dim), dtype=jnp.float32)
+    dq_accs = jax.lax.fori_loop(
+        kj_lo, n_kj, body,
+        tuple(jnp.zeros((bq, dh), dtype=jnp.float32) for _ in range(num_heads)),
     )
+    dq = dq_accs[0] if num_heads == 1 else jnp.concatenate(dq_accs, axis=-1)
     dq_ref[0] = dq
-
-    # ---- d_ts_w in-kernel: after the LAST head (h innermost, so the
-    # dzh scratch now holds this (b, qi) row-block's head-summed dz),
-    # sweep each live tile's OCCURRING bucket range and accumulate
-    # sum(dz * [bucket == t]) into the grid-resident [1, 256] stripe.
-    # Buckets are log-scaled in the time delta, so a 128x128 tile of a
-    # sorted-timestamp sequence spans only a handful of bucket values
-    # (far tiles ~1-2, near-diagonal tiles ~10-30) — the dynamic
-    # [bmin, bmax] trip count makes the sweep pay per OCCURRING value,
-    # not per possible value. Dead entries hold dz == 0 (contribute
-    # nothing to the sums) and are excluded from the range so padded
-    # timestamps cannot widen it. Replaces an XLA Kronecker-one-hot
-    # einsum over the [B, NP, NP] head-summed dz that cost ~1.3 ms/block
-    # at ml-20m-long shapes — and with it the only consumer of dzh in
-    # HBM, so the [B, NP, NP] buffer is now kernel scratch.
-    if dtw_in_kernel:
-        num_heads = k_ref.shape[1]
-
-        @pl.when(h == num_heads - 1)
-        def _dtw_sweep():
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, dtw_ref.shape[1]), 1)
-
-            def tile_sweep(kj, carry):
-                sl = pl.ds(kj * bk, bk)
-                dz_t = dzh_ref[0, :, sl]
-                tsk = tsk_ref[0, 0, sl].astype(jnp.int32)
-                bucket = bucketize_timedelta(
-                    tsq[:, None] - tsk[None, :], num_buckets
-                )
-                col_ids = kj * bk + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, bk), 1
-                )
-                live = jnp.logical_and(row_ids >= col_ids, col_ids < seq_len)
-                live = jnp.logical_and(live, row_ids < seq_len)
-                if has_seg:
-                    live = jnp.logical_and(live, col_ids >= seg_start_q[:, None])
-                bmin = jnp.min(jnp.where(live, bucket, num_buckets + 1))
-                bmax = jnp.max(jnp.where(live, bucket, -1))
-
-                # 8 bucket values per iteration: the 8 masked sums are
-                # independent (ILP hides the scalar-reduce latency that
-                # dominated a 1-value-per-iteration loop)
-                def bucket_body(i8, c):
-                    t0 = bmin + i8 * 8
-                    upd = jnp.zeros((1, dtw_ref.shape[1]), jnp.float32)
-                    for kk in range(8):
-                        t = t0 + kk
-                        s = jnp.sum(jnp.where(bucket == t, dz_t, 0.0))
-                        upd = upd + s * (lane == t).astype(jnp.float32)
-                    dtw_ref[...] = dtw_ref[...] + upd
-                    return c
-
-                n8 = (bmax + 1 - bmin + 7) // 8
-                jax.lax.fori_loop(0, n8, bucket_body, 0)
-                return carry
-
-            jax.lax.fori_loop(kj_lo, n_kj, tile_sweep, 0)
 
 
 # d_ts_w radix factors: bucket = _DTW_HI_RADIX-ary high digit x low digit,
@@ -637,11 +642,10 @@ def _dtw_from_dz(dz, ts_next, ts_key, num_buckets):
     a 129-iteration in-kernel VPU sweep (measured 11.8 ms -> ~1 ms per
     block at the ml-1m recipe shapes). Padded dz entries are zero, so
     their (arbitrary) buckets contribute nothing. ts_next/ts_key are the
-    per-b [B, 1, NP] rows (no head repeat).
-    """
+    per-b [B, 1, NP] rows."""
     n_hi = (num_buckets + _DTW_LO) // _DTW_LO  # ceil((nb+1)/LO)
-    delta = ts_next[:, 0, :, None] - ts_key[:, 0, None, :]  # [BH, NP, NP]
-    # u8 indices: buckets <= 132, and the materialized [BH, NP, NP] index
+    delta = ts_next[:, 0, :, None] - ts_key[:, 0, None, :]  # [B, NP, NP]
+    # u8 indices: buckets <= 132, and the materialized [B, NP, NP] index
     # buffer (shared across all blocks' grad fusions) is re-read once per
     # block — s32 cost 536 MB of reads per step at ml-20m, u8 a quarter
     bucket = bucketize_timedelta(delta, num_buckets).astype(jnp.uint8)
@@ -655,48 +659,6 @@ def _dtw_from_dz(dz, ts_next, ts_key, num_buckets):
         "bnm,bnmh,bnml->hl", dz, h, low, preferred_element_type=jnp.float32
     )
     return dtw2.reshape(-1)[: num_buckets + 1]
-
-
-def _prepare(q, k, v, timestamps, max_len):
-    """Shared padding/layout prep for the fused kernels."""
-    b, n, h, dqk = q.shape
-    dv_dim = v.shape[-1]
-    bk = 128  # lane-dim slices must be 128-aligned on TPU
-    np_total = _round_up(n, bk)
-    bq = _pick_bq(np_total)
-    d_pad = _round_up(dqk, 128)
-    dv_pad = _round_up(dv_dim, 128)
-
-    def pad_to(x, target, axis):
-        pad = target - x.shape[axis]
-        if pad == 0:
-            return x
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, pad)
-        return jnp.pad(x, widths)
-
-    def fold(x, d, target_d):
-        return pad_to(
-            pad_to(x.transpose(0, 2, 1, 3).reshape(b * h, n, d), np_total, 1),
-            target_d, 2,
-        )
-
-    qf, kf = fold(q, dqk, d_pad), fold(k, dqk, d_pad)
-    vf = fold(v, dv_dim, dv_pad)
-
-    ts = timestamps.astype(jnp.int32)
-    ts_next = pad_to(jnp.concatenate([ts[:, 1:], ts[:, -1:]], axis=1), np_total, 1)
-    ts_key = pad_to(ts, np_total, 1)
-    if h > 1:
-        ts_next = jnp.repeat(ts_next, h, axis=0)
-        ts_key = jnp.repeat(ts_key, h, axis=0)
-    ts_next, ts_key = ts_next[:, None, :], ts_key[:, None, :]
-    return dict(
-        b=b, n=n, h=h, dqk=dqk, dv=dv_dim, bq=bq, bk=bk,
-        np_total=np_total, d_pad=d_pad, dv_pad=dv_pad,
-        qf=qf, kf=kf, vf=vf, ts_next=ts_next, ts_key=ts_key,
-        pad_to=pad_to, fold=fold,
-    )
 
 
 def _pos_toeplitz(pos_w, np_total, max_len, bq, bk):
@@ -727,15 +689,9 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     pr = _prepare(q, k, v, timestamps, max_len)
     bq, bk, np_total = pr["bq"], pr["bk"], pr["np_total"]
     b, h, n = pr["b"], pr["h"], pr["n"]
-    d_pad, dv_pad = pr["d_pad"], pr["dv_pad"]
-    gf = pr["fold"](g, pr["dv"], dv_pad)
-    # k/v reshaped [B, H, NP, D] so one resident block serves the whole
-    # per-b sweep (the kernel's dk/dv out blocks mirror this layout)
-    k4 = pr["kf"].reshape(b, h, np_total, d_pad)
-    v4 = pr["vf"].reshape(b, h, np_total, dv_pad)
-    grid = (b, np_total // bq, h)
-    # per-b timestamp rows (stride h: _prepare repeats per head)
-    tsq_b, tsk_b = pr["ts_next"][::h], pr["ts_key"][::h]
+    dqk, dv = pr["dqk"], pr["dv"]
+    gm = pr["merge"](g, dv)
+    grid = (b, np_total // bq)
     pos_bias = _pos_toeplitz(pos_w, np_total, max_len, bq, bk)  # [BQ, NP]
     nb1 = ts_w.shape[0]
     ts_w_2d = jnp.pad(
@@ -744,25 +700,26 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     )
     has_seg = seg_pos is not None
 
-    row_spec = pl.BlockSpec((1, 1, np_total), lambda bi, qi, hi, lens: (bi, 0, 0))
+    row_spec = pl.BlockSpec((1, 1, np_total), lambda bi, qi, lens: (bi, 0, 0))
     in_specs = [
-        pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-        pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-        pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
-        pl.BlockSpec((1, bq, dv_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
+        pl.BlockSpec((1, np_total, h * dqk), lambda bi, qi, lens: (bi, 0, 0)),
+        pl.BlockSpec((1, np_total, h * dv), lambda bi, qi, lens: (bi, 0, 0)),
+        pl.BlockSpec((1, bq, h * dqk), lambda bi, qi, lens: (bi, qi, 0)),
+        pl.BlockSpec((1, bq, h * dv), lambda bi, qi, lens: (bi, qi, 0)),
         row_spec,
         row_spec,
     ]
-    inputs = [lengths, k4, v4, pr["qf"], gf, tsq_b, tsk_b]
+    inputs = [lengths, pr["km"], pr["vm"], pr["qm"], gm,
+              pr["ts_next"], pr["ts_key"]]
     if has_seg:
         seg_b = pr["pad_to"](seg_pos.astype(jnp.int32), np_total, 1)[:, None, :]
         in_specs.append(row_spec)
         inputs.append(seg_b)
     in_specs.extend([
-        pl.BlockSpec((bq, np_total), lambda bi, qi, hi, lens: (0, 0)),
+        pl.BlockSpec((bq, np_total), lambda bi, qi, lens: (0, 0)),
         pl.BlockSpec(
             (1, _round_up(num_buckets + 1, 128)),
-            lambda bi, qi, hi, lens: (0, 0),
+            lambda bi, qi, lens: (0, 0),
         ),
     ])
     inputs.extend([pos_bias, ts_w_2d])
@@ -774,32 +731,26 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     # scalar reductions cost more than the einsum saves
     dtw_in_kernel = np_total >= 512
     out_specs = [
-        pl.BlockSpec((1, bq, d_pad), lambda bi, qi, hi, lens, H=h: (bi * H + hi, qi, 0)),
-        pl.BlockSpec((1, h, np_total, d_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
-        pl.BlockSpec((1, h, np_total, dv_pad), lambda bi, qi, hi, lens: (bi, 0, 0, 0)),
+        pl.BlockSpec((1, bq, h * dqk), lambda bi, qi, lens: (bi, qi, 0)),
+        pl.BlockSpec((1, np_total, h * dqk), lambda bi, qi, lens: (bi, 0, 0)),
+        pl.BlockSpec((1, np_total, h * dv), lambda bi, qi, lens: (bi, 0, 0)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((b * h, np_total, d_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, np_total, d_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, np_total, dv_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, np_total, h * dqk), jnp.float32),
+        jax.ShapeDtypeStruct((b, np_total, h * dqk), jnp.float32),
+        jax.ShapeDtypeStruct((b, np_total, h * dv), jnp.float32),
     ]
-    dpw_spec = pl.BlockSpec((1, w_acc), lambda bi, qi, hi, lens: (0, 0))
+    dpw_spec = pl.BlockSpec((1, w_acc), lambda bi, qi, lens: (0, 0))
     dpw_shape = jax.ShapeDtypeStruct((1, w_acc), jnp.float32)
-    scratch_shapes = []
     if dtw_in_kernel:
         out_specs += [
             dpw_spec,
-            pl.BlockSpec((1, w_tw), lambda bi, qi, hi, lens: (0, 0)),
+            pl.BlockSpec((1, w_tw), lambda bi, qi, lens: (0, 0)),
         ]
         out_shape += [dpw_shape, jax.ShapeDtypeStruct((1, w_tw), jnp.float32)]
-        # head-summed dz for the current (b, qi) row block — pure VMEM
-        # scratch when both bias-table gradients leave as stripes (was a
-        # [B, NP, NP] HBM output: 170 MB/block of write+read traffic at
-        # ml-20m-long)
-        scratch_shapes = [pltpu.VMEM((1, bq, np_total), jnp.float32)]
     else:
         out_specs += [
-            pl.BlockSpec((1, bq, np_total), lambda bi, qi, hi, lens: (bi, qi, 0)),
+            pl.BlockSpec((1, bq, np_total), lambda bi, qi, lens: (bi, qi, 0)),
             dpw_spec,
         ]
         out_shape += [
@@ -810,7 +761,8 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
         functools.partial(
             _bwd_fused_kernel,
             bq=bq, bk=bk, num_buckets=num_buckets,
-            inv_n=1.0 / max_len, n_valid=n, has_seg=has_seg,
+            inv_n=1.0 / max_len, n_valid=n,
+            num_heads=h, dh=dqk, dvh=dv, has_seg=has_seg,
             dtw_in_kernel=dtw_in_kernel,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -818,32 +770,31 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=scratch_shapes,
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=5 * b * h * n * n * (pr["dqk"] + pr["dv"]),
-            bytes_accessed=4 * b * h * n * (2 * pr["dqk"] + 2 * pr["dv"]),
+            flops=5 * b * h * n * n * (dqk + dv),
+            bytes_accessed=4 * b * h * n * (2 * dqk + 2 * dv),
             transcendentals=b * h * n * n,
         ),
     )(*inputs)
     if dtw_in_kernel:
-        dqf, dk4, dv4, dpw_acc, dtw_acc = outs
+        dqm, dkm, dvm, dpw_acc, dtw_acc = outs
         dtw_out = dtw_acc[0, : num_buckets + 1]
     else:
-        dqf, dk4, dv4, dzh, dpw_acc = outs
-        # dzh is already head-summed in-kernel; ts rows are per-b
-        dtw_out = _dtw_from_dz(dzh, tsq_b, tsk_b, num_buckets)
+        dqm, dkm, dvm, dzh, dpw_acc = outs
+        # dzh is already head-summed in-kernel
+        dtw_out = _dtw_from_dz(dzh, pr["ts_next"], pr["ts_key"], num_buckets)
 
-    def unfold(x, d):
-        return x[:, :n, :d].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    def unmerge(x, d):
+        return x[:, :n].reshape(b, n, h, d)
 
-    dq = unfold(dqf, pr["dqk"]).astype(q.dtype)
-    dk = unfold(dk4.reshape(b * h, np_total, d_pad), pr["dqk"]).astype(k.dtype)
-    dv = unfold(dv4.reshape(b * h, np_total, dv_pad), pr["dv"]).astype(v.dtype)
+    dq = unmerge(dqm, dqk).astype(q.dtype)
+    dk = unmerge(dkm, dqk).astype(k.dtype)
+    dv_out = unmerge(dvm, dv).astype(v.dtype)
 
     # d_pos_w from the kernel's diagonal-sum stripe: stripe index w holds
     # diagonal d = w - np_total, table index t = d + max_len - 1. Stripe
@@ -858,7 +809,7 @@ def _fused_bwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     dpw = jax.lax.dynamic_update_slice(
         dpw, dpw_acc[0, w_lo:w_hi], (t_lo,)
     )
-    return dq, dk, dv, dpw, dtw_out
+    return dq, dk, dv_out, dpw, dtw_out
 
 
 def _fused_fwd(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len, num_buckets):

@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mygenerativerecommenders_tpu.ops.hstu_attention import bucketize_timedelta
 from mygenerativerecommenders_tpu.ops.pallas.hstu_attention import (
+    _feature_pad,
     _round_up,
     _ts_bias_gather,
 )
@@ -150,7 +151,7 @@ def _layout(q, k, v, tsq_next, tsk):
     nc, dv = k.shape[1], v.shape[-1]
     bq = bk = 128
     nqp, ncp = _round_up(nq, bq), _round_up(nc, bk)
-    d_pad, dv_pad = _round_up(dqk, 128), _round_up(dv, 128)
+    d_pad, dv_pad = _feature_pad(dqk), _feature_pad(dv)
 
     def pad_to(x, target, axis):
         p = target - x.shape[axis]
