@@ -352,6 +352,31 @@ class HSTU(nn.Module):
             axis=1,
         )
 
+        # On the fused-kernel path, pad the residual stream to the
+        # kernels' 128-row tile ONCE for the whole stack instead of
+        # letting every block's wrapper pad its q/k/v/g and slice its
+        # output (the r5 long-N trace showed ~2.4 ms/step of those
+        # per-block pad/slice copies at 8 blocks). Padded rows stay
+        # exactly zero through LN/uvqk (no bias) and are re-masked
+        # between blocks like any invalid row; the kernels already ran
+        # at this padded width internally, so the math is bit-identical.
+        pad_stream = (
+            self.use_pallas
+            and self.sp_shards == 1
+            and self.normalization in ("rel_bias", "hstu_rel_bias")
+            and self.enable_relative_attention_bias
+            and self.relative_bias_type == "time_position"
+            and timestamps is not None
+            and n % 128 != 0
+        )
+        if pad_stream:
+            npad = (-n) % 128
+            x = jnp.pad(x, ((0, 0), (0, npad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, npad), (0, 0)))
+            timestamps = jnp.pad(timestamps, ((0, 0), (0, npad)))
+            if seg_pos is not None:
+                seg_pos = jnp.pad(seg_pos, ((0, 0), (0, npad)))
+
         def apply_block(block: HSTUBlock, bx: jax.Array, bts, blens, bseg) -> jax.Array:
             return block(bx, bts, blens, bseg, deterministic=deterministic)
 
@@ -385,4 +410,5 @@ class HSTU(nn.Module):
                 name=f"block_{i}",
             )
             x = apply_block(block, x, timestamps, kernel_lengths, seg_pos)
-        return x * mask
+        x = x * mask
+        return x[:, :n] if pad_stream else x

@@ -43,6 +43,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _d_pad(d: int) -> int:
+    """Feature-dim padding: blocks covering the whole minor dim need not
+    be 128-wide (see ops/pallas/hstu_attention._feature_pad) — keeping
+    D=64 at its native size halves the q/catalog/dq/dcat DMA bytes,
+    which is exactly what forced the 512-row bt tile on multi-x-block
+    catalogs (catalog re-fetch per grid step)."""
+    return _round_up(d, 128) if d >= 128 else _round_up(d, 8)
+
+
 def _tile_logits(q_ref, cat_ref, cnt_ref, sup_ref, j, xb, inv_tau):
     """Shared per-tile prep: (masked-live logits, cmask) for x-block j."""
     q = q_ref[...].astype(jnp.float32)  # [BQ, D]
@@ -178,7 +187,7 @@ def _prep(q2, norm_catalog, count):
     x = norm_catalog.shape[0]
     bq = 128
     bt_pad = _round_up(bt, bq)
-    d_pad = _round_up(d, 128)
+    d_pad = _d_pad(d)
     # x tile: largest 128-multiple <= _XB that exactly divides the
     # lane-padded width, so count (born at that width) is never re-padded
     x_pad = _round_up(x, 128)
@@ -589,7 +598,7 @@ def _prep3(q2, norm_catalog, count3):
     x = norm_catalog.shape[0]
     bq = bt_tile(x, packed=packed)
     bt_pad = _round_up(bt, bq)
-    d_pad = _round_up(d, 128)
+    d_pad = _d_pad(d)
     n_hi = _round_up(x, 128) // 128
     hb, n_j = _hb_blocks_packed(n_hi) if packed else _hb_blocks(n_hi)
     # count3 is b-major [BT, HI, 128] — the one-hot count einsum's native

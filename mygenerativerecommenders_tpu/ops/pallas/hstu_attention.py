@@ -320,8 +320,11 @@ def _fused_fwd_impl(q, k, v, timestamps, seg_pos, lengths, pos_w, ts_w, max_len,
     # pos-table offsets beyond +-(max_len-1) occur only on cross-segment
     # pairs, which the block-diagonal mask zeroes (clipped stripe values
     # never contribute)
-    assert seg_pos is not None or n <= max_len, (
-        f"sequence dim {n} > max_len {max_len}"
+    # the stack may hand in a stream already padded to the 128-row tile
+    # (models/hstu.py pad_stream) — those extra rows are dead padding
+    # bounded out by `lengths`
+    assert seg_pos is not None or n <= _round_up(max_len, 128), (
+        f"sequence dim {n} > padded max_len {max_len}"
     )
     has_seg = seg_pos is not None
 
