@@ -161,8 +161,8 @@ def bench_attention(rows, iters):
             ).sum()
 
         def grad_step(carry):
-            # bias-table grads included: the d_pos/d_ts_w fusions reading
-            # the head-summed dz stripe are a real cost at long N
+            # bias-table grads included (accumulated fully in-kernel
+            # since r5 — no dz buffer exists anywhere)
             qc, pwc, twc = carry
             dq, dpw, dtw = jax.grad(loss, argnums=(0, 1, 2))(qc, pwc, twc)
             return (qc + 1e-30 * dq, pwc + 1e-30 * dpw, twc + 1e-30 * dtw)
@@ -170,16 +170,21 @@ def bench_attention(rows, iters):
         t_full = timeit_chain(grad_step, (q, pw, tw), k=iters)
         npad = int(np.ceil(n / 128) * 128)
         f_bwd = attn_flops(lengths, n, h, dqk, dv, bwd=True)
-        # bwd HBM floor: the head-summed dz stripe [B, NP, NP] f32 is
-        # written by the kernel and re-read by the bias-grad fusions
-        bytes_bwd = 2 * 4 * b * npad * npad + 3 * 4 * b * n * h * (dqk + dv)
+        # bwd HBM floor: inputs re-read + dq/dk/dv written. The r4 dz
+        # stripe term (2 * 4 * b * npad * npad — written by the kernel,
+        # re-read by XLA bias-grad fusions) is GONE at npad >= 512
+        # (in-kernel bias grads); short sequences still emit the
+        # head-summed dz for the XLA d_ts_w einsum.
+        bytes_bwd = 3 * 4 * b * n * h * (dqk + dv)
+        if npad < 512:
+            bytes_bwd += 2 * 4 * b * npad * npad
         rows.append(
             (
                 name + " fwd+bwd",
                 t_full,
                 f_fwd + f_bwd,
                 bytes_fwd + bytes_bwd,
-                "MXU + dz HBM",
+                "MXU + dz HBM" if npad < 512 else "MXU/VPU tiles",
             )
         )
         _log(f"{name}: fwd {t_fwd*1e3:.2f} ms, fwd+bwd {t_full*1e3:.2f} ms")
