@@ -167,7 +167,12 @@ def run(num_items: int = 3952, emit=print) -> dict:
     _emit("eval_packed_queries_per_sec", round(n_seg_total * reps / dt, 1),
           f"q/s (X={num_items}, packed {rows}x256 rows, {kp} batches/dispatch)")
 
-    # int8 pre-ranked eval step (index.quantize=int8 serving fast path)
+    # int8 pre-ranked eval step (index.quantize=int8). NOTE: at these
+    # head dims int8 is a MEMORY lever (4x smaller catalog residency —
+    # what makes the 100M x 64 index fit), not a speed lever: the
+    # pre-rank matmul it accelerates is ~GFLOP-scale noise while the
+    # [B, X]-wide dequant + wider top-k ADD work — measured 29-33k q/s
+    # vs 53k exact at X=3952, 4.0k vs 9.5k at X=131k (r5 probe).
     import copy
 
     cfg8 = copy.deepcopy(cfg)

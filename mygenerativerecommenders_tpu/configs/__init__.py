@@ -172,8 +172,10 @@ class IndexConfig:
     # NOTE: the eval step is shared between serving and the training
     # driver, so enabling int8 also makes val/test metrics, plateau-LR
     # scheduling, and best-checkpoint selection run on the approximate
-    # pre-ranked scan. Intended as a serving fast path; keep "none" for
-    # training runs whose checkpoint selection must be exact.
+    # pre-ranked scan. Intended as a serving MEMORY lever (4x smaller
+    # catalog residency — NOT faster at D=50-64, see
+    # ops/quantized_topk.py); keep "none" for training runs whose
+    # checkpoint selection must be exact.
     quantize: str = "none"  # none | int8
     rescore_over_fetch: int = 4
     # SHARDED candidate index: keep the [X, D] candidate matrix row-

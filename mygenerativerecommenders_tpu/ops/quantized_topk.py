@@ -1,14 +1,20 @@
-"""Int8-quantized MIPS top-k (serving fast path).
+"""Int8-quantized MIPS top-k (a serving MEMORY lever).
 
 The reference's `MIPSBruteForceTopK` (models/indexing/top_k.py:43-70) is
-an f32 `mm` + `topk`; at production catalog sizes the scan is HBM-bound
-(f32 rows: 4 bytes/element/query-batch). This opt-in path stores the
-catalog as symmetric per-row int8 (absmax/127 scales), scores with an
-int8xint8->int32 MXU matmul (4x less catalog traffic, higher MXU
-throughput), then optionally re-scores an over-fetched candidate set
-against the exact f32 rows so the returned top-k ORDER is exact whenever
-the true top-k survives the quantized pre-ranking (recall measured ~1.0
-at 4x over-fetch on normalized embeddings; tests/test_quantized_topk.py).
+an f32 `mm` + `topk`. This opt-in path stores the catalog as symmetric
+per-row int8 (absmax/127 scales) — 4x smaller catalog RESIDENCY, which
+is what lets a 100M x 64 index fit per-shard budgets — scores with an
+int8xint8->int32 MXU matmul, then optionally re-scores an over-fetched
+candidate set against the exact f32 rows so the returned top-k ORDER is
+exact whenever the true top-k survives the quantized pre-ranking
+(recall measured ~1.0 at 4x over-fetch on normalized embeddings;
+tests/test_quantized_topk.py).
+
+Honest throughput note (r5, v5e): at this model family's head dims
+(D=50-64) int8 is NOT faster — the pre-rank matmul it accelerates is
+GFLOP-scale noise next to the [B, X]-wide dequant/top-k work, which the
+int8 path widens (measured 29-33k q/s vs 53k exact at X=3952, 4.0k vs
+9.5k at X=131k). Pick it for memory, not speed.
 
 Enable with `index.quantize="int8"` (+ `index.rescore_over_fetch`);
 default "none" keeps the reference-exact scan.
