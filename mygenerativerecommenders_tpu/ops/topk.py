@@ -53,7 +53,9 @@ def masked_mips_scores(
     return scores
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_item_id"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_item_id", "approx_recall")
+)
 def mips_top_k(
     query_embeddings: jax.Array,  # [B, D]
     item_embeddings: jax.Array,  # [X, D]
@@ -61,14 +63,28 @@ def mips_top_k(
     k: int,
     invalid_ids: Optional[jax.Array] = None,  # [B, N0] ids to exclude (0 = none)
     max_item_id: Optional[int] = None,
+    approx_recall: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k by inner product, excluding each row's invalid ids.
 
     Returns (top_k_ids [B, k], top_k_scores [B, k]), sorted descending.
+
+    approx_recall > 0 routes the selection through the TPU's hardware
+    partial-reduce top-k (`jax.lax.approx_max_k`) with that per-element
+    recall target instead of XLA's full-sort `lax.top_k` — the XLA sort
+    is the dominant cost of a large-catalog scan (measured at X=131k:
+    exact mm+top-k 11.6 ms/call vs 3.4 ms at recall 0.99; the matmul
+    itself is 1.7 ms). Opt-in, serving-oriented; the default 0.0 keeps
+    the reference-exact scan for training/eval checkpoint selection.
     """
     scores = masked_mips_scores(
         query_embeddings, item_embeddings, item_ids, invalid_ids, max_item_id
     )
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if approx_recall > 0.0:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=float(approx_recall)
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     top_ids = jnp.take(item_ids, top_idx, axis=0)
     return top_ids, top_scores

@@ -608,6 +608,7 @@ def make_eval_step(
             k=min(k, len(all_item_ids)),
             invalid_ids=invalid,
             max_item_id=max_item_id,
+            approx_recall=float(cfg.model.index.approx_top_k_recall),
         )
 
     if steps > 1:
@@ -708,6 +709,7 @@ def make_packed_eval_step(
                 queries, candidates, catalog,
                 k=k_eff, invalid_ids=invalid,
                 max_item_id=max_item_id,
+                approx_recall=float(cfg.model.index.approx_top_k_recall),
             )
         return ids, scores, batch["seg_target"], batch["seg_weight"]
 

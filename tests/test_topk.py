@@ -45,3 +45,38 @@ def test_mips_topk_no_filter(rng):
         np.testing.assert_array_equal(
             np.asarray(top_ids)[i], ids[np.argsort(-scores[i], kind="stable")]
         )
+
+
+def test_mips_top_k_approx_recall(rng):
+    """index.approx_top_k_recall routes selection through
+    jax.lax.approx_max_k: on CPU the lowering is exact, so results equal
+    the full-sort path; the recall contract on TPU is the primitive's
+    (the knob is opt-in serving-only either way)."""
+    import jax.numpy as jnp
+
+    from mygenerativerecommenders_tpu.ops.topk import mips_top_k
+
+    b, x, d, k = 8, 512, 16, 32
+    q = jnp.asarray(rng.normal(size=(b, d)).astype("float32"))
+    emb = jnp.asarray(rng.normal(size=(x, d)).astype("float32"))
+    ids = jnp.asarray(np.arange(1, x + 1, dtype=np.int32))
+    inv = jnp.asarray(rng.integers(1, x + 1, size=(b, 16)).astype(np.int32))
+
+    exact_ids, exact_scores = mips_top_k(
+        q, emb, ids, k=k, invalid_ids=inv, max_item_id=x
+    )
+    approx_ids, approx_scores = mips_top_k(
+        q, emb, ids, k=k, invalid_ids=inv, max_item_id=x, approx_recall=0.95
+    )
+    # per-row overlap with the exact top-k must meet the recall target
+    for r in range(b):
+        overlap = len(
+            set(np.asarray(exact_ids[r]).tolist())
+            & set(np.asarray(approx_ids[r]).tolist())
+        )
+        assert overlap >= int(0.95 * k), (r, overlap)
+    # invalid ids are filtered on both paths
+    for r in range(b):
+        assert not set(np.asarray(approx_ids[r]).tolist()) & set(
+            np.asarray(inv[r]).tolist()
+        )
