@@ -5,7 +5,7 @@
 PY ?= python
 ARGS ?=
 
-.PHONY: train eval predict prepare_data test bench smoke
+.PHONY: train eval predict prepare_data test bench smoke roundtrip
 
 train:
 	$(PY) -m mygenerativerecommenders_tpu.cli.train $(ARGS)
@@ -28,3 +28,10 @@ bench:
 smoke:
 	$(PY) -m mygenerativerecommenders_tpu.cli.train experiment=synthetic-smoke \
 		trainer.fast_dev_run=true $(ARGS)
+
+# Full reference-checkpoint round-trip: train the genuine reference
+# torch modules, convert their best checkpoint via cli/convert_ckpt,
+# eval with OUR trainer, and print per-metric deltas (expected 0.0).
+# ARGS: "<epochs> <users> <seed>" (defaults 30 384 42).
+roundtrip:
+	$(PY) benchmarks/reference_e2e.py roundtrip $(ARGS)
