@@ -37,6 +37,7 @@ def sharded_mips_top_k(
     k: int,
     invalid_ids: Optional[jax.Array] = None,  # [B, N0] ids to exclude (0=none)
     axis: str = "model",
+    approx_recall: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (top_k_ids [B, k], top_k_scores [B, k]) sorted descending.
 
@@ -44,6 +45,12 @@ def sharded_mips_top_k(
     are forced to -inf below). Queries/outputs shard over the mesh's
     "data" axis when present (each data group handles its own rows);
     the exchange rides the model axis only.
+
+    approx_recall > 0 routes each shard's LOCAL pre-rank through the
+    TPU's partial-reduce top-k (jax.lax.approx_max_k) — the per-shard
+    full sort dominates at production row counts (12.5M rows/shard at
+    100M items over 8 shards); the cross-shard merge and the final
+    filtered selection stay exact over the fetched candidates.
     """
     k_fetch = k + (int(invalid_ids.shape[1]) if invalid_ids is not None else 0)
     has_data = "data" in mesh.axis_names
@@ -70,7 +77,12 @@ def sharded_mips_top_k(
         # demote padding rows (id 0) so they never enter the merge
         scores = jnp.where(ids[None, :] == 0, NEG_INF, scores)
         local_k = min(k_fetch, items.shape[0])
-        s, idx = jax.lax.top_k(scores, local_k)  # [B, k']
+        if approx_recall > 0.0:
+            s, idx = jax.lax.approx_max_k(
+                scores, local_k, recall_target=float(approx_recall)
+            )  # [B, k']
+        else:
+            s, idx = jax.lax.top_k(scores, local_k)  # [B, k']
         top_ids = jnp.take(ids, idx, axis=0)
         # gather the per-shard winners everywhere, then merge
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [B, m*k']

@@ -558,6 +558,7 @@ def make_eval_step(
             return sharded_mips_top_k(
                 mesh, current, candidates, jnp.asarray(catalog_padded),
                 k=k_eff, invalid_ids=invalid,
+                approx_recall=float(cfg.model.index.approx_top_k_recall),
             )
 
         if steps > 1:
@@ -693,6 +694,7 @@ def make_packed_eval_step(
                 ids, scores = sharded_mips_top_k(
                     mesh, queries, candidates, jnp.asarray(catalog_padded),
                     k=k_eff, invalid_ids=invalid,
+                    approx_recall=float(cfg.model.index.approx_top_k_recall),
                 )
         elif quantize == "int8":
             from mygenerativerecommenders_tpu.ops.quantized_topk import (
