@@ -80,3 +80,32 @@ def test_mips_top_k_approx_recall(rng):
         assert not set(np.asarray(approx_ids[r]).tolist()) & set(
             np.asarray(inv[r]).tolist()
         )
+
+
+def test_trainer_eval_with_approx_topk(tmp_path):
+    """index.approx_top_k_recall plumbs through the trainer's eval step
+    (CPU lowering of approx_max_k is exact, so metrics match the exact
+    scan here; on TPU the knob trades recall for the sort cost)."""
+    import numpy as np
+
+    from mygenerativerecommenders_tpu.configs.presets import get_preset
+    from mygenerativerecommenders_tpu.train.driver import Trainer
+
+    results = {}
+    for recall in (0.0, 0.95):
+        cfg = get_preset("synthetic-smoke")
+        cfg.data.data_dir = str(tmp_path / "data")
+        cfg.trainer.output_dir = str(tmp_path / f"out_{recall}")
+        cfg.model.index.approx_top_k_recall = recall
+        trainer = Trainer(cfg)
+        try:
+            results[recall] = trainer.eval_epoch(
+                trainer.data.loader("val"), "val"
+            )
+        finally:
+            trainer.close()
+    for key in results[0.0]:
+        np.testing.assert_allclose(
+            results[0.95][key], results[0.0][key], rtol=1e-6,
+            err_msg=f"metric {key} differs (CPU approx_max_k is exact)",
+        )
